@@ -1,0 +1,27 @@
+"""opensearch_loader_spark — a from-scratch PySpark-native inverted-index
+builder and BM25 query engine.
+
+Capability parity target: CBIIT/opensearch-loader (reference snapshot at
+/root/reference, read-only). The reference is a Memgraph→OpenSearch ETL that
+delegates all search computation (analysis, inverted index, BM25 top-k) to
+OpenSearch; this package implements both the loader-side dataflow operators
+(scan/project/filter/upsert/merge — reference loader.py, opensearch_client.py)
+and the delegated search-side operators natively on Spark:
+
+- ``analysis``       tokenizer contract (shared by engine and oracle)
+- ``functions``      varbyte/delta-gap codecs, BM25 math, text feature fns
+- ``corpus``         deterministic synthetic Common-Crawl-style corpus
+- ``indexer``        postings build: tokenize → skew-salted shuffle →
+                     delta-gap+varbyte block packing with block-max metadata
+- ``query_engine``   BM25 top-k: naive DataFrame scorer + block-max WAND
+- ``operators``      dedup / similarity / update-merge / multimodal plumbing
+- ``plans``          mapping parse + validation (reference loader.py:281-458)
+- ``oracle``         pure-Python golden BM25 scorer (stand-in for OpenSearch)
+- ``checkpoint``     per-partition lineage + resumable builds
+"""
+
+__version__ = "0.1.0"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BLOCK_SIZE = 128  # docs per posting block (block-max granularity)

@@ -1,0 +1,488 @@
+"""Index build pipeline — the Spark-native replacement for the reference's
+"push documents to OpenSearch and let Lucene index them" path
+(reference loader.py:523-659 streams pages into opensearch_client.py:189-226
+bulk_upsert; Lucene then builds the inverted index server-side).
+
+Stages (all DataFrame/Arrow; no per-row Python — driver input_hint):
+
+ 1. text extraction    html→text pandas UDF, byte-identical per url
+                       (text column authoritative when present)
+ 2. url dedup          last-writer-wins by warc_ts (reference analogue:
+                       upsert keyed on id_field, loader.py:610)
+ 3. docID assignment   scalable two-pass: range-partition by url, per-
+                       partition counts → offsets (no global window)
+ 4. tokenize+tf        mapInPandas: per-doc Counter → (term, docID, tf, dl)
+                       rows — map-side tf combine, no (term,doc) shuffle
+ 5. skew plan          df per term; head terms split into ceil(df/rows_per_run)
+                       salted runs (SURVEY.md §4.2.1)
+ 6. pack               repartition(term, salt) → applyInPandas: sort by docID,
+                       delta-gap + varbyte encode docIDs/tfs/doc_lens, blocks of
+                       BLOCK_SIZE docs, per-block max score bound (block-max)
+ 7. write              postings parquet partitioned by bucket=hash(term)%B
+                       (query-time partition pruning); docs table; term stats;
+                       manifest with snapshot id; per-bucket lineage rows
+
+Resumability (north rule): each bucket directory commits atomically with a
+lineage row (snapshot_id, bucket, postings_count, bytes_written, status);
+``build_index(resume=True)`` skips completed buckets of the same snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+from collections import Counter
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_loader_spark import BLOCK_SIZE, BM25_B, BM25_K1
+from opensearch_loader_spark.analysis import TOKEN_RE
+from opensearch_loader_spark.corpus import extract_text_from_html
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("run", T.IntegerType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("last_doc_id", T.LongType()),
+        T.StructField("n_docs", T.IntegerType()),
+        T.StructField("max_tf_norm", T.DoubleType()),
+        T.StructField("doc_gaps", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("text_sha256", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------- stage 1+2+3
+
+def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
+    """corpus(url, warc_ts, html, text, lang) → docs(doc_id, url, warc_ts,
+    lang, text, text_sha256). Dense deterministic docIDs ordered by url.
+
+    Scale notes: docID assignment avoids a global single-partition window by
+    range-partitioning on url and adding per-partition offsets computed from
+    partition counts (tiny collect of one row per partition). Dedup is a
+    window over url — a shuffle on the same key the range partitioning uses.
+    """
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    spark = corpus.sparkSession
+    n_part = id_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+
+    # 1. authoritative text: `text` column, else extracted from html.
+    #    Byte-identity per url is guaranteed because extract_text_from_html
+    #    is a pure function (north rule); we record sha256 for the check.
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            need = pdf["text"].isna()
+            if need.any():
+                pdf.loc[need, "text"] = pdf.loc[need, "html"].map(
+                    lambda h: extract_text_from_html(bytes(h))
+                )
+            pdf["text_sha256"] = pdf["text"].map(
+                lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest()
+            )
+            yield pdf[["url", "warc_ts", "lang", "text", "text_sha256"]]
+
+    extracted_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("text_sha256", T.StringType()),
+        ]
+    )
+    extracted = corpus.mapInPandas(_extract, schema=extracted_schema)
+
+    # 2. last-writer-wins dedup on url (upsert semantics of the reference's
+    #    bulk_upsert keyed on id_field, opensearch_client.py:199-213)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    deduped = (
+        extracted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 3. scalable dense docID: range partition by url, count per partition,
+    #    broadcast cumulative offsets, number within partition.
+    parted = deduped.repartitionByRange(n_part, "url").sortWithinPartitions("url")
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        list(extracted_schema.fields) + [T.StructField("doc_id", T.LongType())]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # iterator is per-partition; rows arrive in sorted order
+        next_id = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if next_id is None:
+                next_id = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(next_id, next_id + len(pdf), dtype=np.int64)
+            next_id += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(_assign, schema=out_schema)
+
+
+# ------------------------------------------------------------------- stage 4
+
+def tokenize_postings(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text, ...) → postings(term, doc_id, tf, dl).
+
+    Per-doc term counting happens inside the Arrow batch (Counter per doc —
+    a map-side combine): the shuffle that follows moves one row per distinct
+    (term, doc) instead of one per token occurrence.
+    """
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        findall = TOKEN_RE.findall
+        for pdf in batches:
+            terms_out: list[str] = []
+            docs_out: list[int] = []
+            tfs_out: list[int] = []
+            dls_out: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = findall(text.lower()) if text else []
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    terms_out.append(term)
+                    docs_out.append(doc_id)
+                    tfs_out.append(tf)
+                    dls_out.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": pd.array(terms_out, dtype="string"),
+                    "doc_id": np.asarray(docs_out, dtype=np.int64),
+                    "tf": np.asarray(tfs_out, dtype=np.int32),
+                    "dl": np.asarray(dls_out, dtype=np.int32),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_tok, schema=POSTING_SCHEMA)
+
+
+def doc_lengths(docs_with_text: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) via the same tokenizer (dl = analyzed token count)."""
+
+    def _dl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        findall = TOKEN_RE.findall
+        for pdf in batches:
+            pdf["doc_len"] = [
+                len(findall(t.lower())) if t else 0 for t in pdf["text"].values
+            ]
+            yield pdf[["doc_id", "doc_len"]]
+
+    return docs_with_text.select("doc_id", "text").mapInPandas(
+        _dl,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("doc_len", T.IntegerType()),
+            ]
+        ),
+    )
+
+
+# ------------------------------------------------------------------- stage 5
+
+def skew_plan(postings: DataFrame, rows_per_run: int) -> DataFrame:
+    """term → n_splits for head terms (Zipf skew). df computed with map-side
+    partial aggregation; only terms needing >1 run survive the filter, so the
+    plan table is tiny and broadcastable."""
+    return (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "n_splits", F.ceil(F.col("df") / F.lit(rows_per_run)).cast("int")
+        )
+        .filter(F.col("n_splits") > 1)
+        .select("term", "n_splits")
+    )
+
+
+def salt_postings(postings: DataFrame, plan: DataFrame) -> DataFrame:
+    """Add `run` (salt) column: 0 for tail terms; doc_id % n_splits for head
+    terms. Broadcast join — the plan has only head terms."""
+    salted = postings.join(F.broadcast(plan), "term", "left").withColumn(
+        "run",
+        F.when(
+            F.col("n_splits").isNotNull(),
+            F.pmod(F.col("doc_id"), F.col("n_splits")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return salted.drop("n_splits")
+
+
+# ------------------------------------------------------------------- stage 6
+
+def _make_packer(avgdl: float, block_size: int = BLOCK_SIZE):
+    from opensearch_loader_spark.functions.varbyte import delta_encode, varbyte_encode
+
+    k1, b = BM25_K1, BM25_B
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        run = int(pdf["run"].iloc[0])
+        doc_ids = pdf["doc_id"].values.astype(np.uint64)
+        tfs = pdf["tf"].values.astype(np.uint64)
+        dls = pdf["dl"].values.astype(np.uint64)
+        rows = []
+        n = len(doc_ids)
+        for blk_i, start in enumerate(range(0, n, block_size)):
+            d = doc_ids[start : start + block_size]
+            t = tfs[start : start + block_size]
+            l = dls[start : start + block_size]
+            tff = t.astype(np.float64)
+            dlf = l.astype(np.float64)
+            part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+            rows.append(
+                (
+                    term,
+                    run,
+                    blk_i,
+                    int(d[0]),
+                    int(d[-1]),
+                    len(d),
+                    float(part.max()),
+                    varbyte_encode(delta_encode(d)),
+                    varbyte_encode(t),
+                    varbyte_encode(l),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in BLOCK_SCHEMA.fields],
+        )
+
+    return pack
+
+
+def pack_blocks(
+    salted: DataFrame,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(term, run)-grouped block packing. The groupBy's shuffle IS the
+    salted repartition-by-term: Spark hash-partitions on (term, run), so a
+    head term's runs land on different tasks (explicit skew splitting)."""
+    n = shuffle_partitions or salted.sparkSession.sparkContext.defaultParallelism
+    return (
+        salted.repartition(n, "term", "run")
+        .groupBy("term", "run")
+        .applyInPandas(_make_packer(avgdl, block_size), schema=BLOCK_SCHEMA)
+    )
+
+
+# ------------------------------------------------------------------- stage 7
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _snapshot_id(corpus: DataFrame, params: dict) -> str:
+    """Content-addressed snapshot id: cheap aggregate fingerprint of the
+    input (count + xor/sum of url hashes) + build params. This emulates an
+    Iceberg snapshot-id in the plain-parquet sandbox (SURVEY.md §7.0)."""
+    agg = corpus.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    import hashlib
+
+    blob = json.dumps(
+        {"n": agg["n"], "h": str(agg["h"]), **params}, sort_keys=True
+    ).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    segment: str = "seg-000000",
+    n_buckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    rows_per_run: int = 100_000,
+    resume: bool = False,
+) -> dict:
+    """Full build. Returns the manifest dict. Layout:
+
+    index_dir/segments/<segment>/{docs,postings,term_stats,checkpoints}/ +
+    manifest.json; index_dir/MANIFEST.json lists live segments (LSM levels).
+    """
+    params = {
+        "segment": segment,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "rows_per_run": rows_per_run,
+    }
+    snapshot_id = _snapshot_id(corpus, params)
+    seg_dir = os.path.join(index_dir, "segments", segment)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    manifest_path = os.path.join(seg_dir, "manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            existing = json.load(f)
+        if existing.get("snapshot_id") == snapshot_id and existing.get("complete"):
+            return existing
+
+    t0 = time.time()
+    docs = prepare_docs(corpus).persist()
+    postings_raw = tokenize_postings(docs)
+
+    # corpus stats (N, avgdl) — needed by the packer closure
+    stats_row = (
+        doc_lengths(docs)
+        .agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"))
+        .collect()[0]
+    )
+    N, avgdl = int(stats_row["N"]), float(stats_row["avgdl"] or 0.0)
+
+    # docs table (join doc_len in once, write)
+    docs_out = docs.join(doc_lengths(docs), "doc_id").select(
+        "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
+    )
+    docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+
+    # skew plan + salted pack
+    postings = postings_raw.persist()
+    plan = skew_plan(postings, rows_per_run)
+    salted = salt_postings(postings, plan)
+    blocks = with_bucket(pack_blocks(salted, avgdl, block_size), n_buckets)
+
+    # resume: skip completed buckets (per-bucket lineage)
+    ckpt_dir = os.path.join(seg_dir, "checkpoints")
+    done_buckets: set[int] = set()
+    if resume and os.path.isdir(ckpt_dir):
+        try:
+            prev = spark.read.parquet(ckpt_dir)
+            done_buckets = {
+                r["bucket"]
+                for r in prev.filter(
+                    (F.col("snapshot_id") == snapshot_id)
+                    & (F.col("status") == "complete")
+                ).collect()
+            }
+        except Exception:
+            done_buckets = set()
+    if done_buckets:
+        blocks = blocks.filter(~F.col("bucket").isin(sorted(done_buckets)))
+
+    blocks.write.mode("append" if done_buckets else "overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(seg_dir, "postings"))
+
+    # term stats (df per term; aggregated across runs)
+    written = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    term_stats = (
+        written.groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+        )
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats"))
+
+    # lineage checkpoints: one row per bucket (north rule: snapshot id,
+    # partition hash, postings count, bytes written, status)
+    lineage = (
+        written.groupBy("bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("postings_count"),
+            (
+                F.sum(F.length("doc_gaps"))
+                + F.sum(F.length("tfs"))
+                + F.sum(F.length("dls"))
+            ).cast("long").alias("bytes_written"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("segment", F.lit(segment))
+        .withColumn("partition_hash", F.format_string("%s/b%05d", F.lit(snapshot_id), F.col("bucket")))
+        .withColumn("status", F.lit("complete"))
+        .withColumn("ts", F.current_timestamp())
+    )
+    lineage.write.mode("overwrite").parquet(ckpt_dir)
+
+    manifest = {
+        "segment": segment,
+        "snapshot_id": snapshot_id,
+        "N": N,
+        "avgdl": avgdl,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "rows_per_run": rows_per_run,
+        "build_secs": round(time.time() - t0, 3),
+        "complete": True,
+        "build_id": str(uuid.uuid4()),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    # top-level manifest (live segments, newest last = LSM order)
+    top_path = os.path.join(index_dir, "MANIFEST.json")
+    top = {"segments": []}
+    if os.path.exists(top_path):
+        with open(top_path) as f:
+            top = json.load(f)
+    if segment not in top["segments"]:
+        top["segments"].append(segment)
+    top["n_buckets"] = n_buckets
+    with open(top_path, "w") as f:
+        json.dump(top, f, indent=2)
+
+    docs.unpersist()
+    postings.unpersist()
+    return manifest

@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All portable across engines (Spark ↔ DuckDB oracle) by building on md5 as
+the shared hash primitive — both engines produce identical hex digests, so
+MinHash signatures and band buckets are value-identical in the driver's
+correctness check.
+
+Operators:
+- exact_dedup            hash-groupBy on normalized text (keep min doc_id)
+- minhash_signatures     per-doc MinHash over word shingles (min md5 per seed)
+- lsh_candidate_pairs    band-bucket join → near-dup candidate pairs
+- ngram_jaccard_pairs    exact n-gram Jaccard via shingle self-join
+- simhash64              64-bit SimHash over tokens (vectorized pandas UDF)
+
+Scale notes: exact dedup and shingle joins are shuffle-on-key — the key
+(md5(text), shingle) is high-cardinality and uniform, so no skew handling is
+needed; the LSH band join's fan-out is bounded by band count × docs and
+broadcast is never required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct text hash."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def _shingle_df(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Word n-gram shingles via pure SQL functions (no UDF): split tokens,
+    then join consecutive windows with transform over indices."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda x: x != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    # shingle i = toks[i..i+n-1] joined by space; if fewer than n tokens, the
+    # whole doc is one shingle (matches analysis.shingles)
+    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+    idxs = F.sequence(F.lit(0), n_sh - 1)
+    sh = F.transform(
+        idxs,
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(n))),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): MinHash = min over shingles of
+    md5(seed || shingle). Portable: DuckDB computes the same md5."""
+    sh = _shingle_df(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows-per-band = n_hashes/n_bands), bucket-join:
+    docs sharing any band bucket are near-dup candidates (a < b)."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for bdf in bands[1:]:
+        all_bands = all_bands.unionByName(bdf)
+    left = all_bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    right = all_bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    |A∩B| from the shingle self-join; |A|,|B| from per-doc distinct counts;
+    J = inter / (|A|+|B|-inter). The self-join shuffles on `shingle`."""
+    sh = _shingle_df(docs, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens (Charikar 2002): per token take a 64-bit
+    hash (md5 prefix), add +1/-1 per bit weighted by tf, sign → bit.
+    Vectorized inside Arrow batches (mapInPandas); no SQL oracle (bitwise) —
+    driver records the weaker rows-only check, covered by pytest instead.
+    """
+    import hashlib
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from opensearch_loader_spark.analysis import TOKEN_RE
+
+    def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].values):
+                toks = TOKEN_RE.findall(text.lower()) if text else []
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for tok, tf in Counter(toks).items():
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    bits = (h >> np.arange(64)) & 1
+                    acc += np.where(bits == 1, tf, -tf)
+                sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out[i] = np.int64(np.uint64(sig))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(_simhash, SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming using the pigeonhole
+    trick: split 64 bits into (max_hamming+1) chunks; a qualifying pair must
+    agree exactly on ≥1 chunk → equi-join per chunk, verify with bit_count."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = []
+    for c in range(n_chunks):
+        chunk = F.shiftrightunsigned(F.col("simhash"), c * width) & F.lit(
+            (1 << width) - 1
+        )
+        chunks.append(
+            sim.select(
+                F.col("doc_id"),
+                F.col("simhash"),
+                F.lit(c).alias("chunk_id"),
+                chunk.alias("chunk"),
+            )
+        )
+    all_chunks = chunks[0]
+    for cdf in chunks[1:]:
+        all_chunks = all_chunks.unionByName(cdf)
+    a = all_chunks.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = all_chunks.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

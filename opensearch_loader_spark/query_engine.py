@@ -1,0 +1,486 @@
+"""BM25 query engine — block-max WAND top-k over the compressed index.
+
+This natively implements the search path the reference delegates to
+OpenSearch (reference opensearch_client.py installs `text` mappings at
+loader.py:311 and pushes docs; Lucene then serves BM25 top-k — the repo
+itself contains no search code). Lifecycle per SURVEY.md §3.4:
+
+  query string → tokenize (same analyzer as build, analysis.py) →
+  prune postings to query-term buckets (parquet partition pruning on
+  `bucket` + pushed `term IN` filter) → block-max WAND with a k-heap →
+  hydrate urls from the docs table (broadcast join of the tiny top-k).
+
+Distributed shape: all blocks of one query's terms are co-located by
+``groupBy(query_id).applyInPandas(bmw)``; the UDF decodes varbyte blocks
+lazily — blocks whose upper bound can't beat the heap threshold are skipped
+WITHOUT decoding (that's the point of the per-block max_tf_norm metadata).
+
+Determinism (rank-identity with the oracle): float64; per-doc score sums
+per-term contributions in ascending term order; tie-break (score desc,
+doc_id asc); safe pruning uses strict `ub <= θ` only once the heap is full
+(candidates arrive in ascending doc_id, so an equal-score later doc can
+never enter the top-k — see oracle.py ordering).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from bisect import insort
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opensearch_loader_spark import BM25_B, BM25_K1
+from opensearch_loader_spark.analysis import query_terms
+from opensearch_loader_spark.functions.bm25 import bm25_idf
+from opensearch_loader_spark.functions.varbyte import delta_decode, varbyte_decode
+
+
+# --------------------------------------------------------------- index access
+
+def load_index_info(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        top = json.load(f)
+    segs = []
+    N, dl_sum = 0, 0.0
+    for seg in top["segments"]:
+        with open(os.path.join(index_dir, "segments", seg, "manifest.json")) as f:
+            m = json.load(f)
+        segs.append(m)
+        N += m["N"]
+        dl_sum += m["N"] * m["avgdl"]
+    return {
+        "dir": index_dir,
+        "segments": segs,
+        "n_buckets": top["n_buckets"],
+        "N": N,
+        "avgdl": (dl_sum / N) if N else 0.0,
+    }
+
+
+def _bucket_of(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
+    if not terms:
+        return {}
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .collect()
+    )
+    return {r["term"]: r["bucket"] for r in rows}
+
+
+def read_query_blocks(spark: SparkSession, info: dict, terms: list[str]) -> DataFrame:
+    """Read only the posting blocks of the query terms: partition pruning on
+    `bucket`, pushed-down `term IN` filter (verify with .explain →
+    PushedFilters: In(term, ...))."""
+    buckets = sorted(set(_bucket_of(spark, terms, info["n_buckets"]).values()))
+    parts = []
+    for seg in info["segments"]:
+        p = os.path.join(info["dir"], "segments", seg["segment"], "postings")
+        df = (
+            spark.read.parquet(p)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .withColumn("segment", F.lit(seg["segment"]))
+        )
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def term_dfs(spark: SparkSession, info: dict, terms: list[str]) -> dict[str, int]:
+    """Global df per query term (summed across segments) — idf input."""
+    if not terms:
+        return {}
+    dfs: dict[str, int] = {}
+    buckets = sorted(set(_bucket_of(spark, terms, info["n_buckets"]).values()))
+    for seg in info["segments"]:
+        p = os.path.join(info["dir"], "segments", seg["segment"], "term_stats")
+        rows = (
+            spark.read.parquet(p)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        for r in rows:
+            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+    return dfs
+
+
+# ------------------------------------------------------------------ BMW core
+
+class _TermIter:
+    """Cursor over one (term, run) posting list of varbyte blocks.
+
+    Blocks decode lazily: `shallow_advance` moves the block pointer using
+    only (first/last doc_id, max_tf_norm) metadata; decode happens only when
+    a block must actually be scored.
+    """
+
+    __slots__ = (
+        "term", "idf", "firsts", "lasts", "maxs", "gaps", "tfs", "dls",
+        "bi", "docs", "tfa", "dla", "pos", "done", "global_ub",
+    )
+
+    def __init__(self, term: str, idf: float, blocks: list[tuple]):
+        # blocks: (first, last, max_tf_norm, gaps, tfs, dls) sorted by first
+        self.term = term
+        self.idf = idf
+        self.firsts = [b[0] for b in blocks]
+        self.lasts = [b[1] for b in blocks]
+        self.maxs = [b[2] for b in blocks]
+        self.gaps = [b[3] for b in blocks]
+        self.tfs = [b[4] for b in blocks]
+        self.dls = [b[5] for b in blocks]
+        self.bi = 0
+        self.done = False
+        self.global_ub = idf * max(self.maxs) if self.maxs else 0.0
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        self.bi = bi
+        self.docs = delta_decode(varbyte_decode(self.gaps[bi])).astype(np.int64)
+        self.tfa = varbyte_decode(self.tfs[bi]).astype(np.float64)
+        self.dla = varbyte_decode(self.dls[bi]).astype(np.float64)
+        self.pos = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def block_ub(self) -> float:
+        return self.idf * self.maxs[self.bi]
+
+    def block_last(self) -> int:
+        return self.lasts[self.bi]
+
+    def advance_to(self, target: int) -> None:
+        """Position at first doc >= target (decodes at most one new block)."""
+        bi = self.bi
+        while bi < len(self.lasts) and self.lasts[bi] < target:
+            bi += 1
+        if bi >= len(self.lasts):
+            self.done = True
+            return
+        if bi != self.bi:
+            self._load(bi)
+        self.pos = int(np.searchsorted(self.docs[self.pos:], target) + self.pos)
+        if self.pos >= len(self.docs):
+            # target fell in a gap at the end of this block
+            if bi + 1 >= len(self.lasts):
+                self.done = True
+            else:
+                self._load(bi + 1)
+
+    def score_current(self, avgdl: float) -> float:
+        tf = self.tfa[self.pos]
+        dl = self.dla[self.pos]
+        return self.idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+
+class _TopK:
+    """Sorted top-k list ordered by (score desc, doc_id asc)."""
+
+    __slots__ = ("k", "items")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.items: list[tuple[float, int]] = []  # kept sorted by (-score, doc)
+
+    def theta(self) -> float:
+        return self.items[-1][0] if len(self.items) >= self.k else float("-inf")
+
+    def offer(self, score: float, doc_id: int) -> None:
+        # candidates arrive in ascending doc_id → equal scores never replace
+        if len(self.items) < self.k:
+            insort(self.items, (score, doc_id), key=lambda it: (-it[0], it[1]))
+        elif score > self.items[-1][0]:
+            insort(self.items, (score, doc_id), key=lambda it: (-it[0], it[1]))
+            self.items.pop()
+
+
+def bmw_topk(
+    term_blocks: dict[str, list[tuple]],
+    term_df: dict[str, int],
+    N: int,
+    avgdl: float,
+    k: int,
+    conjunctive: bool = False,
+) -> list[tuple[int, float]]:
+    """Block-max WAND over decoded-on-demand posting blocks of one query.
+
+    term_blocks: term -> list of per-run block lists flattened
+                 [(first, last, max_tf_norm, gaps, tfs, dls), ...].
+    A term salted into multiple runs yields multiple iterators with the same
+    term (disjoint doc sets), which is transparent to WAND.
+    """
+    iters: list[_TermIter] = []
+    n_query_terms = len(term_blocks)
+    for term, runs in term_blocks.items():
+        idf = bm25_idf(N, term_df[term])
+        for blocks in runs:
+            if blocks:
+                iters.append(_TermIter(term, idf, blocks))
+    if not iters:
+        return []
+    if conjunctive and len({it.term for it in iters}) < n_query_terms:
+        return []  # a required term has no postings at all
+
+    if conjunctive:
+        return _conjunctive_topk(term_blocks, term_df, N, avgdl, k)
+
+    top = _TopK(k)
+    while True:
+        alive = [it for it in iters if not it.done]
+        if not alive:
+            break
+        # ---- disjunctive block-max WAND ----
+        alive.sort(key=lambda it: it.cur_doc)
+        theta = top.theta()
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(alive):
+            acc += it.global_ub
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx == -1:
+            break  # no doc can beat θ anymore
+        pivot_doc = alive[pivot_idx].cur_doc
+        if alive[0].cur_doc == pivot_doc:
+            # block-max refinement (BMW, Ding & Suel 2011): every alive
+            # iterator at doc <= pivot is exactly AT pivot (list is sorted
+            # and alive[0] == pivot), so the pivot's true score is bounded
+            # by the sum of the aligned iterators' current-block maxima.
+            prefix = [it for it in alive if it.cur_doc == pivot_doc]
+            block_sum = sum(it.block_ub() for it in prefix)
+            if block_sum <= theta:
+                # Safe skip: docs in (pivot, nxt) can only be scored by the
+                # prefix iterators inside their current blocks (bound =
+                # block_sum <= θ). nxt is capped by (a) the shallowest
+                # current-block boundary and (b) the first doc where a
+                # non-aligned iterator joins in.
+                nxt = min(it.block_last() for it in prefix) + 1
+                later = [it.cur_doc for it in alive if it.cur_doc > pivot_doc]
+                if later:
+                    nxt = min(nxt, min(later))
+                nxt = max(nxt, pivot_doc + 1)
+                for it in prefix:
+                    it.advance_to(nxt)
+                continue
+            contribs = sorted((it.term, it.score_current(avgdl)) for it in prefix)
+            total = 0.0
+            for _, c in contribs:
+                total += c
+            top.offer(total, pivot_doc)
+            for it in prefix:
+                it.advance_to(pivot_doc + 1)
+        else:
+            # advance the earliest iterator up to the pivot
+            alive[0].advance_to(pivot_doc)
+    return [(doc, score) for score, doc in top.items]
+
+
+def _conjunctive_topk(
+    term_blocks: dict[str, list[list[tuple]]],
+    term_df: dict[str, int],
+    N: int,
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Posting-list intersection (SURVEY.md §2 #20) + BM25 over survivors.
+
+    Sort-merge style: decode each term's runs into one docID-sorted array
+    (runs are disjoint), progressively intersect starting from the rarest
+    term (smallest list prunes fastest), then score the survivors.
+    Vectorized numpy throughout; exact and rank-identical by construction.
+    """
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for term, runs in term_blocks.items():
+        ds, ts, ls = [], [], []
+        for blocks in runs:
+            for first, last, _mx, gaps, tfs, dls in blocks:
+                ds.append(delta_decode(varbyte_decode(gaps)).astype(np.int64))
+                ts.append(varbyte_decode(tfs).astype(np.float64))
+                ls.append(varbyte_decode(dls).astype(np.float64))
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        l = np.concatenate(ls)
+        order = np.argsort(d, kind="stable")
+        decoded[term] = (d[order], t[order], l[order])
+
+    terms_by_size = sorted(decoded, key=lambda t: len(decoded[t][0]))
+    cand = decoded[terms_by_size[0]][0]
+    for t in terms_by_size[1:]:
+        cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+
+    total = np.zeros(cand.size, dtype=np.float64)
+    for term in sorted(decoded):  # ascending term order = summation order
+        d, tf, dl = decoded[term]
+        pos = np.searchsorted(d, cand)
+        idf = bm25_idf(N, term_df[term])
+        tfc, dlc = tf[pos], dl[pos]
+        total += idf * (tfc * (BM25_K1 + 1.0)) / (
+            tfc + BM25_K1 * (1.0 - BM25_B + BM25_B * dlc / avgdl)
+        )
+    order = np.lexsort((cand, -total))[:k]
+    return [(int(cand[i]), float(total[i])) for i in order]
+
+
+# ------------------------------------------------------------- search facade
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[str, str, int]],
+    conjunctive: bool = False,
+    hydrate: bool = False,
+) -> DataFrame:
+    """Batch search: queries = [(query_id, query_text, k)].
+
+    Returns (query_id, rank, doc_id, score) — plus url if hydrate.
+    One applyInPandas group per query: the groupBy(query_id) shuffle
+    co-locates every block a query needs on one task (SURVEY.md §4.2.4).
+    """
+    info = load_index_info(index_dir)
+    q_terms = {qid: query_terms(text) for qid, text, _ in queries}
+    q_k = {qid: k for qid, _, k in queries}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    dfs = term_dfs(spark, info, all_terms)
+    N, avgdl = info["N"], info["avgdl"]
+
+    if not all_terms or not any(t in dfs for ts in q_terms.values() for t in ts):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    blocks = read_query_blocks(spark, info, [t for t in all_terms if t in dfs])
+    qt_rows = [
+        (qid, t) for qid, ts in q_terms.items() for t in ts if t in dfs
+    ]
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string")
+    # broadcast: the query-term table is tiny; blocks stay partition-local
+    joined = blocks.join(F.broadcast(qt), "term")
+
+    b_meta = spark.sparkContext.broadcast(
+        {"dfs": dfs, "q_terms": q_terms, "q_k": q_k, "N": N, "avgdl": avgdl,
+         "conjunctive": conjunctive}
+    )
+
+    def _bmw(pdf: pd.DataFrame) -> pd.DataFrame:
+        meta = b_meta.value
+        qid = pdf["query_id"].iloc[0]
+        wanted = set(meta["q_terms"][qid])
+        term_blocks: dict[str, dict[tuple, list]] = {}
+        for row in pdf.itertuples(index=False):
+            if row.term not in wanted:
+                continue
+            key = (row.segment, row.run)
+            term_blocks.setdefault(row.term, {}).setdefault(key, []).append(
+                (
+                    int(row.first_doc_id),
+                    int(row.last_doc_id),
+                    float(row.max_tf_norm),
+                    bytes(row.doc_gaps),
+                    bytes(row.tfs),
+                    bytes(row.dls),
+                )
+            )
+        tb = {
+            t: [sorted(blks) for blks in runs.values()]
+            for t, runs in term_blocks.items()
+        }
+        # conjunctive needs ALL query terms present (even index-absent ones
+        # make the result empty) — check against wanted, not present terms
+        if meta["conjunctive"] and set(tb) != wanted:
+            return pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            ).astype({"query_id": str, "rank": "int32", "doc_id": "int64", "score": "float64"})
+        res = bmw_topk(
+            tb,
+            {t: meta["dfs"][t] for t in tb},
+            meta["N"],
+            meta["avgdl"],
+            meta["q_k"][qid],
+            conjunctive=meta["conjunctive"],
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(res),
+                "rank": np.arange(1, len(res) + 1, dtype=np.int32),
+                "doc_id": np.asarray([d for d, _ in res], dtype=np.int64),
+                "score": np.asarray([s for _, s in res], dtype=np.float64),
+            }
+        )
+
+    out = joined.groupBy("query_id").applyInPandas(_bmw, schema=TOPK_SCHEMA)
+    if hydrate:
+        docs = spark.read.parquet(
+            os.path.join(index_dir, "segments", info["segments"][-1]["segment"], "docs")
+        ).select("doc_id", "url")
+        # top-k is tiny → broadcast it, stream the big docs table past it
+        out = docs.join(F.broadcast(out), "doc_id").select(
+            "query_id", "rank", "doc_id", "score", "url"
+        )
+    return out
+
+
+# ----------------------------------------------- naive Catalyst-path scorer
+
+def naive_topk_df(
+    docs_with_text: DataFrame, query: str, k: int = 10, conjunctive: bool = False
+) -> DataFrame:
+    """Pure-DataFrame BM25 scorer (joins + window) — the cross-check path and
+    the SQL-expressible variant used by the driver oracle. Re-derives
+    postings from text with the shared tokenizer."""
+    from pyspark.sql.window import Window
+
+    from opensearch_loader_spark.indexer import doc_lengths, tokenize_postings
+
+    terms = sorted(query_terms(query))
+    spark = docs_with_text.sparkSession
+    postings = tokenize_postings(docs_with_text)
+    stats = doc_lengths(docs_with_text).agg(
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    N, avgdl = int(stats["N"]), float(stats["avgdl"])
+
+    tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qp = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tdf.filter(F.col("term").isin(terms))), "term"
+    )
+    score = (
+        F.log(1.0 + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = qp.withColumn("tscore", score.cast("double"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"), F.count("*").alias("n_terms")
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("n_terms") == len(terms))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )

@@ -1,0 +1,153 @@
+"""End-to-end: build the compressed index on the synthetic corpus and verify
+the BMW engine is RANK-IDENTICAL (docIDs and float64 scores) to the
+pure-Python golden oracle on the full reference query set (SURVEY.md §5.2.3).
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_loader_spark.corpus import make_corpus_pdf
+from opensearch_loader_spark.oracle import (
+    build_oracle_index,
+    oracle_topk,
+    oracle_topk_conjunctive,
+    reference_query_set,
+)
+from opensearch_loader_spark.query_engine import naive_topk_df, search
+
+
+@pytest.fixture(scope="module")
+def oracle_index(spark, tiny_index):
+    d, _ = tiny_index
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    rows = docs.select("doc_id", "text").collect()
+    return build_oracle_index({r["doc_id"]: r["text"] for r in rows})
+
+
+def _assert_rank_identical(got, want, qid):
+    assert len(got) == len(want), f"{qid}: {len(got)} vs {len(want)} results"
+    for i, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"{qid} rank {i+1}: doc {gd} != oracle {wd}"
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (
+            f"{qid} rank {i+1}: score {gs!r} != oracle {ws!r}"
+        )
+
+
+def test_manifest_sane(tiny_index):
+    d, m = tiny_index
+    assert m["N"] == 200
+    assert m["avgdl"] > 0
+    assert m["complete"]
+
+
+def test_docid_dense_and_url_sorted(spark, tiny_index):
+    d, m = tiny_index
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    rows = docs.orderBy("doc_id").select("doc_id", "url").collect()
+    ids = [r["doc_id"] for r in rows]
+    urls = [r["url"] for r in rows]
+    assert ids == list(range(len(ids)))
+    assert urls == sorted(urls)
+
+
+def test_text_byte_identity(spark, tiny_index):
+    """North rule: extracted text byte-identical per url (sha256 golden)."""
+    import hashlib
+
+    d, _ = tiny_index
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    got = {r["url"]: r["text_sha256"] for r in docs.collect()}
+    pdf = make_corpus_pdf(200, seed=42)
+    for url, text in zip(pdf["url"], pdf["text"]):
+        assert got[url] == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_blocks_are_sorted_and_delta_encoded(spark, tiny_index):
+    import numpy as np
+
+    from opensearch_loader_spark.functions.varbyte import (
+        delta_decode,
+        varbyte_decode,
+    )
+
+    d, _ = tiny_index
+    blocks = spark.read.parquet(
+        os.path.join(d, "segments", "seg-000000", "postings")
+    ).filter(F.col("term") == "the")
+    rows = blocks.collect()
+    assert rows, "head term 'the' must exist"
+    for r in rows:
+        docs = delta_decode(varbyte_decode(bytes(r["doc_gaps"])))
+        assert np.all(np.diff(docs.astype(np.int64)) > 0)
+        assert int(docs[0]) == r["first_doc_id"]
+        assert int(docs[-1]) == r["last_doc_id"]
+        assert len(docs) == r["n_docs"]
+        tfs = varbyte_decode(bytes(r["tfs"]))
+        dls = varbyte_decode(bytes(r["dls"]))
+        assert len(tfs) == len(docs) == len(dls)
+
+
+def test_head_term_salted_into_runs(spark, tiny_index):
+    """rows_per_run=40 in the fixture → 'the' (df≈200) must split into >1 run
+    (explicit skew splitting, SURVEY.md §4.2.1)."""
+    d, _ = tiny_index
+    blocks = spark.read.parquet(
+        os.path.join(d, "segments", "seg-000000", "postings")
+    )
+    runs = (
+        blocks.filter(F.col("term") == "the").select("run").distinct().count()
+    )
+    assert runs > 1
+
+
+def test_bmw_rank_identical_to_oracle(spark, tiny_index, oracle_index):
+    d, _ = tiny_index
+    queries = reference_query_set()
+    res = search(spark, d, queries).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in queries:
+        want = oracle_topk(oracle_index, qtext, k)
+        got = sorted(by_q.get(qid, []))
+        got = [(d_, s) for _, d_, s in got]
+        _assert_rank_identical(got, want, qid)
+
+
+def test_bmw_conjunctive_rank_identical(spark, tiny_index, oracle_index):
+    d, _ = tiny_index
+    queries = [
+        ("c1", "index search", 10),
+        ("c2", "the data", 10),
+        ("c3", "query term block", 10),
+        ("c4", "the zzznotaword", 10),
+    ]
+    res = search(spark, d, queries, conjunctive=True).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in queries:
+        want = oracle_topk_conjunctive(oracle_index, qtext, k)
+        got = [(d_, s) for _, d_, s in sorted(by_q.get(qid, []))]
+        _assert_rank_identical(got, want, qid)
+
+
+def test_naive_df_scorer_matches_oracle(spark, tiny_index, oracle_index):
+    d, _ = tiny_index
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in naive_topk_df(docs, "shuffle skew", k=10).orderBy("rank").collect()
+    ]
+    want = oracle_topk(oracle_index, "shuffle skew", 10)
+    _assert_rank_identical(got, want, "naive")
+
+
+def test_hydration(spark, tiny_index):
+    d, _ = tiny_index
+    res = search(spark, d, [("h1", "spark", 5)], hydrate=True).collect()
+    assert len(res) == 5
+    assert all(r["url"].startswith("https://site") for r in res)
