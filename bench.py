@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Run: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Headline = compressed-index build over `documents`-as-corpus (docs/sec) +
+BM25 query latencies over the built index + representative relational /
+training-data queries from the driver contract. `value` is total wall-clock
+seconds of the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from opensearch_loader_spark.indexer import build_index
+    from opensearch_loader_spark.query_engine import search
+    from opensearch_loader_spark.session import get_spark
+    from opensearch_loader_spark.sources.catalog import documents_as_corpus
+
+    spark = get_spark("osls-bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+
+    # ---- index build throughput ----
+    idx_dir = tempfile.mkdtemp(prefix="osls_bench_idx_")
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = corpus.count()  # warm the scan
+    t0 = time.time()
+    build_index(
+        spark, corpus, idx_dir, n_buckets=max(16, cores), block_size=128,
+        rows_per_run=100_000,
+    )
+    build_secs = time.time() - t0
+    timings["index_build"] = round(build_secs, 3)
+    docs_per_sec = round(n_docs / build_secs, 1)
+
+    # ---- BM25 query latency over the compressed index (p50 of 5 runs) ----
+    qsets = {
+        "bmw_head_term": [("q", "the", 10)],
+        "bmw_multi_term": [("q", "spark hash merge", 10)],
+        "bmw_conjunctive": [("q", "spark hash", 10)],
+        "bmw_batch8": [
+            (f"q{i}", q, 10)
+            for i, q in enumerate(
+                ["the", "spark", "hash merge", "key value table", "scan slow",
+                 "window sort", "batch line", "the spark hash"]
+            )
+        ],
+    }
+    for name, qs in qsets.items():
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            search(spark, idx_dir, qs, conjunctive=(name == "bmw_conjunctive")).collect()
+            reps.append(time.time() - t0)
+        timings[name + "_p50"] = round(statistics.median(reps), 3)
+
+    # ---- representative driver-contract queries (Catalyst paths) ----
+    queries = entrymod.queries()
+    for name in [
+        "tokenize_tf", "bm25_topk", "agg_pricing_summary", "join_top_customers",
+        "embedding_cosine_topk", "dedup_exact", "quality_score", "update_merge",
+    ]:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_suite, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 query suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,8 +139,10 @@ def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
 
     # 3. scalable dense docID: range partition by url, count per partition,
     #    broadcast cumulative offsets, number within partition.
+    #    `parted` is persisted because both the count job and the final
+    #    mapInPandas consume it — without this, extraction+dedup run twice.
     parted = deduped.repartitionByRange(n_part, "url").sortWithinPartitions("url")
-    parted = parted.withColumn("_pid", F.spark_partition_id())
+    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -381,24 +383,27 @@ def build_index(
 
     t0 = time.time()
     docs = prepare_docs(corpus).persist()
-    postings_raw = tokenize_postings(docs)
+    # ONE tokenization pass: postings carry dl, so doc_len derives from the
+    # postings table instead of re-tokenizing (token-less docs → doc_len 0)
+    postings = tokenize_postings(docs).persist()
+    dl_tbl = postings.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+    docs_out = (
+        docs.join(dl_tbl, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        .select(
+            "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
+        )
+    )
+    docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
-    # corpus stats (N, avgdl) — needed by the packer closure
+    # corpus stats (N, avgdl) — read back from the written docs table so the
+    # stats job reuses the materialized output instead of recomputing lineage
     stats_row = (
-        doc_lengths(docs)
+        spark.read.parquet(os.path.join(seg_dir, "docs"))
         .agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"))
         .collect()[0]
     )
     N, avgdl = int(stats_row["N"]), float(stats_row["avgdl"] or 0.0)
-
-    # docs table (join doc_len in once, write)
-    docs_out = docs.join(doc_lengths(docs), "doc_id").select(
-        "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
-    )
-    docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-
-    # skew plan + salted pack
-    postings = postings_raw.persist()
     plan = skew_plan(postings, rows_per_run)
     salted = salt_postings(postings, plan)
     blocks = with_bucket(pack_blocks(salted, avgdl, block_size), n_buckets)

@@ -174,14 +174,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 if not toks:
                     continue
                 acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
                 for tok, tf in Counter(toks).items():
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                     )
-                    bits = (h >> np.arange(64)) & 1
-                    acc += np.where(bits == 1, tf, -tf)
-                sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out[i] = np.int64(np.uint64(sig))
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += np.where(bits == np.uint64(1), tf, -tf)
+                sig = int(((acc > 0).astype(np.uint64) << shifts).sum())
+                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
 
     return docs.select(id_col, text_col).mapInPandas(_simhash, SIMHASH_SCHEMA)
@@ -195,8 +196,8 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     width = 64 // n_chunks
     chunks = []
     for c in range(n_chunks):
-        chunk = F.shiftrightunsigned(F.col("simhash"), c * width) & F.lit(
-            (1 << width) - 1
+        chunk = F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
         )
         chunks.append(
             sim.select(

@@ -34,7 +34,12 @@ from opensearch_loader_spark.indexer import BLOCK_SCHEMA, with_bucket
 from opensearch_loader_spark.query_engine import load_index_info
 
 
-def _make_merger(avgdl: float, block_size: int, newest_rank: dict[str, int]):
+def _make_merger(
+    avgdl: float,
+    block_size: int,
+    newest_rank: dict[str, int],
+    shadow_by_segment: dict[str, "np.ndarray | None"],
+):
     from opensearch_loader_spark import BM25_B, BM25_K1
     from opensearch_loader_spark.functions.varbyte import (
         delta_decode,
@@ -47,19 +52,33 @@ def _make_merger(avgdl: float, block_size: int, newest_rank: dict[str, int]):
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
-        # decode all blocks from all segments; keep newest segment per doc
+        # decode all blocks from all segments; TOMBSTONE shadowing first: a
+        # doc re-indexed by a newer segment invalidates ALL its postings in
+        # older segments — including for terms the new text no longer
+        # contains (which newest-wins-per-(term,doc) alone would miss)
         doc_ids, tfs, dls, ranks = [], [], [], []
         for row in pdf.itertuples(index=False):
             d = delta_decode(varbyte_decode(bytes(row.doc_gaps))).astype(np.int64)
+            t = varbyte_decode(bytes(row.tfs)).astype(np.int64)
+            l = varbyte_decode(bytes(row.dls)).astype(np.int64)
+            shadow = shadow_by_segment.get(row.segment)
+            if shadow is not None and len(shadow):
+                keep = ~np.isin(d, shadow)
+                d, t, l = d[keep], t[keep], l[keep]
+            if len(d) == 0:
+                continue
             doc_ids.append(d)
-            tfs.append(varbyte_decode(bytes(row.tfs)).astype(np.int64))
-            dls.append(varbyte_decode(bytes(row.dls)).astype(np.int64))
+            tfs.append(t)
+            dls.append(l)
             ranks.append(np.full(len(d), newest_rank[row.segment], dtype=np.int64))
+        if not doc_ids:
+            return pd.DataFrame(columns=[f.name for f in BLOCK_SCHEMA.fields])
         docs = np.concatenate(doc_ids)
         tf = np.concatenate(tfs)
         dl = np.concatenate(dls)
         rk = np.concatenate(ranks)
-        # newest wins per doc: sort by (doc, rank desc) and keep first
+        # newest wins per doc (belt-and-braces; shadowing already removed
+        # re-indexed docs from older segments)
         order = np.lexsort((-rk, docs))
         docs, tf, dl = docs[order], tf[order], dl[order]
         keep = np.ones(len(docs), dtype=bool)
@@ -100,11 +119,26 @@ def compact_segments(
     updates reuse the same docID via the url→docID map, see
     incremental.build_delta_segment).
     """
+    import numpy as np
+
     info = load_index_info(index_dir)
     segs = [m["segment"] for m in info["segments"]]
     if len(segs) < 2:
         return {"merged": False, "reason": "single segment"}
     newest_rank = {s: i for i, s in enumerate(segs)}  # later = newer
+
+    # per-segment tombstones: doc_ids re-indexed by any NEWER segment
+    upd: dict[str, np.ndarray] = {}
+    for s in segs[1:]:
+        p = os.path.join(index_dir, "segments", s, "updated_ids")
+        if os.path.isdir(p):
+            rows = spark.read.parquet(p).collect()
+            if rows:
+                upd[s] = np.sort(np.array([r["doc_id"] for r in rows], np.int64))
+    shadow_by_segment: dict[str, np.ndarray | None] = {}
+    for i, s in enumerate(segs):
+        newer = [upd[x] for x in segs[i + 1:] if x in upd]
+        shadow_by_segment[s] = np.unique(np.concatenate(newer)) if newer else None
 
     # merged docs table: newest segment wins per doc_id
     docs_parts = []
@@ -143,7 +177,10 @@ def compact_segments(
             spark.sparkContext.defaultParallelism, "term"
         )
         .groupBy("term")
-        .applyInPandas(_make_merger(avgdl, block_size, newest_rank), BLOCK_SCHEMA)
+        .applyInPandas(
+            _make_merger(avgdl, block_size, newest_rank, shadow_by_segment),
+            BLOCK_SCHEMA,
+        )
     )
     merged = with_bucket(merged, info["n_buckets"])
 

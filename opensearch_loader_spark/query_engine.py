@@ -51,8 +51,11 @@ def load_index_info(index_dir: str) -> dict:
         with open(os.path.join(index_dir, "segments", seg, "manifest.json")) as f:
             m = json.load(f)
         segs.append(m)
-        N += m["N"]
-        dl_sum += m["N"] * m["avgdl"]
+        # a delta segment's re-indexed docs are already counted in the base
+        # segment → subtract to keep N exact (avgdl stays a slight
+        # approximation until compaction recomputes it)
+        N += m["N"] - m.get("updated", 0)
+        dl_sum += (m["N"] - m.get("updated", 0)) * m["avgdl"]
     return {
         "dir": index_dir,
         "segments": segs,
@@ -125,13 +128,16 @@ class _TermIter:
 
     __slots__ = (
         "term", "idf", "firsts", "lasts", "maxs", "gaps", "tfs", "dls",
-        "bi", "docs", "tfa", "dla", "pos", "done", "global_ub",
+        "bi", "docs", "tfa", "dla", "pos", "done", "global_ub", "shadow",
     )
 
-    def __init__(self, term: str, idf: float, blocks: list[tuple]):
+    def __init__(self, term: str, idf: float, blocks: list[tuple], shadow=None):
         # blocks: (first, last, max_tf_norm, gaps, tfs, dls) sorted by first
+        # shadow: sorted int64 array of doc_ids whose postings in this
+        # segment are stale (re-indexed by a newer segment) — masked on decode
         self.term = term
         self.idf = idf
+        self.shadow = shadow if shadow is not None and len(shadow) else None
         self.firsts = [b[0] for b in blocks]
         self.lasts = [b[1] for b in blocks]
         self.maxs = [b[2] for b in blocks]
@@ -144,11 +150,23 @@ class _TermIter:
         self._load(0)
 
     def _load(self, bi: int) -> None:
-        self.bi = bi
-        self.docs = delta_decode(varbyte_decode(self.gaps[bi])).astype(np.int64)
-        self.tfa = varbyte_decode(self.tfs[bi]).astype(np.float64)
-        self.dla = varbyte_decode(self.dls[bi]).astype(np.float64)
-        self.pos = 0
+        """Decode block bi (masking shadowed docs); skips empty-after-mask
+        blocks; sets done when no non-empty block remains."""
+        while bi < len(self.lasts):
+            docs = delta_decode(varbyte_decode(self.gaps[bi])).astype(np.int64)
+            tfa = varbyte_decode(self.tfs[bi]).astype(np.float64)
+            dla = varbyte_decode(self.dls[bi]).astype(np.float64)
+            if self.shadow is not None:
+                keep = ~np.isin(docs, self.shadow)
+                if not keep.all():
+                    docs, tfa, dla = docs[keep], tfa[keep], dla[keep]
+            if len(docs):
+                self.bi = bi
+                self.docs, self.tfa, self.dla = docs, tfa, dla
+                self.pos = 0
+                return
+            bi += 1
+        self.done = True
 
     @property
     def cur_doc(self) -> int:
@@ -161,7 +179,8 @@ class _TermIter:
         return self.lasts[self.bi]
 
     def advance_to(self, target: int) -> None:
-        """Position at first doc >= target (decodes at most one new block)."""
+        """Position at first doc >= target (shallow-skips whole blocks via
+        metadata; decodes only the landing block)."""
         bi = self.bi
         while bi < len(self.lasts) and self.lasts[bi] < target:
             bi += 1
@@ -170,13 +189,15 @@ class _TermIter:
             return
         if bi != self.bi:
             self._load(bi)
-        self.pos = int(np.searchsorted(self.docs[self.pos:], target) + self.pos)
-        if self.pos >= len(self.docs):
-            # target fell in a gap at the end of this block
-            if bi + 1 >= len(self.lasts):
-                self.done = True
-            else:
-                self._load(bi + 1)
+            if self.done:
+                return
+        pos = int(np.searchsorted(self.docs, target))
+        if pos >= len(self.docs):
+            # block's real docs (post-mask) all < target → next block starts
+            # past this block's metadata `last` >= target, so pos 0 is right
+            self._load(self.bi + 1)
+            return
+        self.pos = pos
 
     def score_current(self, avgdl: float) -> float:
         tf = self.tfa[self.pos]
@@ -217,18 +238,22 @@ def bmw_topk(
 ) -> list[tuple[int, float]]:
     """Block-max WAND over decoded-on-demand posting blocks of one query.
 
-    term_blocks: term -> list of per-run block lists flattened
-                 [(first, last, max_tf_norm, gaps, tfs, dls), ...].
+    term_blocks: term -> list of runs, each run a pair
+                 (blocks=[(first, last, max_tf_norm, gaps, tfs, dls), ...],
+                  shadow=sorted int64 array or None).
     A term salted into multiple runs yields multiple iterators with the same
-    term (disjoint doc sets), which is transparent to WAND.
+    term (disjoint doc sets), which is transparent to WAND. `shadow` masks
+    doc_ids re-indexed by a newer segment (stale postings).
     """
     iters: list[_TermIter] = []
     n_query_terms = len(term_blocks)
     for term, runs in term_blocks.items():
         idf = bm25_idf(N, term_df[term])
-        for blocks in runs:
+        for blocks, shadow in runs:
             if blocks:
-                iters.append(_TermIter(term, idf, blocks))
+                it = _TermIter(term, idf, blocks, shadow)
+                if not it.done:
+                    iters.append(it)
     if not iters:
         return []
     if conjunctive and len({it.term for it in iters}) < n_query_terms:
@@ -306,15 +331,23 @@ def _conjunctive_topk(
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, runs in term_blocks.items():
         ds, ts, ls = [], [], []
-        for blocks in runs:
+        for blocks, shadow in runs:
             for first, last, _mx, gaps, tfs, dls in blocks:
-                ds.append(delta_decode(varbyte_decode(gaps)).astype(np.int64))
-                ts.append(varbyte_decode(tfs).astype(np.float64))
-                ls.append(varbyte_decode(dls).astype(np.float64))
+                d_ = delta_decode(varbyte_decode(gaps)).astype(np.int64)
+                t_ = varbyte_decode(tfs).astype(np.float64)
+                l_ = varbyte_decode(dls).astype(np.float64)
+                if shadow is not None and len(shadow):
+                    keep = ~np.isin(d_, shadow)
+                    d_, t_, l_ = d_[keep], t_[keep], l_[keep]
+                ds.append(d_)
+                ts.append(t_)
+                ls.append(l_)
         d = np.concatenate(ds)
         t = np.concatenate(ts)
         l = np.concatenate(ls)
         order = np.argsort(d, kind="stable")
+        if d.size == 0:
+            return []  # a required term fully shadowed → empty intersection
         decoded[term] = (d[order], t[order], l[order])
 
     terms_by_size = sorted(decoded, key=lambda t: len(decoded[t][0]))
@@ -380,9 +413,35 @@ def search(
     # broadcast: the query-term table is tiny; blocks stay partition-local
     joined = blocks.join(F.broadcast(qt), "term")
 
+    # Block-max bounds were computed with each segment's own avgdl at pack
+    # time. The idf-free score part is increasing in avgdl with ratio bounded
+    # by avgdl_query/avgdl_pack, so scaling stored bounds by
+    # max(1, global/segment) keeps them true upper bounds (safety of WAND
+    # pruning across segments).
+    seg_scale = {
+        m["segment"]: max(1.0, avgdl / m["avgdl"]) if m["avgdl"] else 1.0
+        for m in info["segments"]
+    }
+    # LSM shadowing: postings of segment i are stale for doc_ids re-indexed
+    # by any NEWER segment (updated_ids written by build_delta_segment).
+    seg_order = [m["segment"] for m in info["segments"]]
+    upd: dict[str, np.ndarray] = {}
+    for seg in seg_order[1:]:
+        p = os.path.join(index_dir, "segments", seg, "updated_ids")
+        if os.path.isdir(p):
+            rows = spark.read.parquet(p).collect()
+            if rows:
+                upd[seg] = np.sort(np.array([r["doc_id"] for r in rows], np.int64))
+    shadows: dict[str, np.ndarray | None] = {}
+    for i, seg in enumerate(seg_order):
+        newer = [upd[s] for s in seg_order[i + 1:] if s in upd]
+        shadows[seg] = (
+            np.unique(np.concatenate(newer)) if newer else None
+        )
     b_meta = spark.sparkContext.broadcast(
         {"dfs": dfs, "q_terms": q_terms, "q_k": q_k, "N": N, "avgdl": avgdl,
-         "conjunctive": conjunctive}
+         "conjunctive": conjunctive, "seg_scale": seg_scale,
+         "shadows": shadows}
     )
 
     def _bmw(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -398,14 +457,17 @@ def search(
                 (
                     int(row.first_doc_id),
                     int(row.last_doc_id),
-                    float(row.max_tf_norm),
+                    float(row.max_tf_norm) * meta["seg_scale"][row.segment],
                     bytes(row.doc_gaps),
                     bytes(row.tfs),
                     bytes(row.dls),
                 )
             )
         tb = {
-            t: [sorted(blks) for blks in runs.values()]
+            t: [
+                (sorted(blks), meta["shadows"].get(seg_run[0]))
+                for seg_run, blks in runs.items()
+            ]
             for t, runs in term_blocks.items()
         }
         # conjunctive needs ALL query terms present (even index-absent ones

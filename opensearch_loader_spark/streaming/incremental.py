@@ -1,0 +1,244 @@
+"""Incremental index maintenance — the reference's update-query pipeline as
+ordered delta segments, plus a Structured Streaming ingestion entry.
+
+Reference semantics being preserved (SURVEY.md §2 #52-55):
+- ordered update batches per index (loader.py:645-653)
+- updates to absent keys silently dropped + counted
+  (opensearch_client.py:317-344, doc_as_upsert=False :293-299)
+- deferred visibility: writes buffered, then one explicit refresh
+  (opensearch_client.py:216,308; loader.py:643,657) → here: the segment
+  directory is written first, the MANIFEST flip is the atomic "refresh"
+
+Delta-segment model: an update batch (url, warc_ts, html/text, lang) is a
+mini-corpus. Docs whose url already exists keep their docID (url→docID map
+join); brand-new urls get docIDs above the current max. The delta's postings
+form a new segment; compaction (operators/merge.py) k-way-merges segments
+with newest-wins shadowing per (term, docID).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensearch_loader_spark import BLOCK_SIZE
+from opensearch_loader_spark.indexer import (
+    doc_lengths,
+    pack_blocks,
+    salt_postings,
+    skew_plan,
+    tokenize_postings,
+    with_bucket,
+)
+from opensearch_loader_spark.query_engine import load_index_info
+
+
+def build_delta_segment(
+    spark: SparkSession,
+    index_dir: str,
+    updates: DataFrame,
+    segment: str,
+    upsert: bool = True,
+    rows_per_run: int = 100_000,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Apply one update batch as a new LSM segment.
+
+    upsert=True  → reference initial-load semantics (bulk_upsert): new urls
+                   are inserted, existing urls re-indexed under their docID.
+    upsert=False → reference update-query semantics (doc_as_upsert=False):
+                   rows with unknown urls are DROPPED and counted.
+    Returns the manifest dict incl. update/skip counts.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    info = load_index_info(index_dir)
+    n_buckets = info["n_buckets"]
+    newest = info["segments"][-1]["segment"]
+    # url → docID map across all live segments (newest wins)
+    from pyspark.sql.window import Window
+
+    doc_maps = []
+    for i, m in enumerate(info["segments"]):
+        p = os.path.join(index_dir, "segments", m["segment"], "docs")
+        doc_maps.append(
+            spark.read.parquet(p).select("url", "doc_id").withColumn("_r", F.lit(i))
+        )
+    existing = doc_maps[0]
+    for d in doc_maps[1:]:
+        existing = existing.unionByName(d)
+    w = Window.partitionBy("url").orderBy(F.desc("_r"))
+    existing = (
+        existing.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_r")
+    )
+    max_id = existing.agg(F.max("doc_id")).collect()[0][0] or -1
+
+    # dedup within the batch (last writer by warc_ts), same as build
+    wb = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    batch = (
+        updates.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = batch.join(existing, "url", "left")
+    matched = joined.filter(F.col("doc_id").isNotNull())
+    unmatched = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+    updated_count = matched.count()
+    new_count = unmatched.count()
+    skipped_count = 0 if upsert else new_count
+
+    if upsert and new_count:
+        # assign fresh docIDs above max (per-partition offsets, as in build)
+        parted = unmatched.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism // 2), "url"
+        ).sortWithinPartitions("url").withColumn("_pid", F.spark_partition_id())
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, max_id + 1
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        b_off = spark.sparkContext.broadcast(offsets)
+        schema = T.StructType(
+            [f for f in parted.schema.fields if f.name != "_pid"]
+            + [T.StructField("doc_id", T.LongType())]
+        )
+
+        def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nid = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if nid is None:
+                    nid = b_off.value[int(pdf["_pid"].iloc[0])]
+                pdf = pdf.drop(columns=["_pid"])
+                pdf["doc_id"] = np.arange(nid, nid + len(pdf), dtype=np.int64)
+                nid += len(pdf)
+                yield pdf
+
+        fresh = parted.mapInPandas(_assign, schema)
+        delta_docs = matched.unionByName(fresh)
+    else:
+        delta_docs = matched
+
+    def _sha(col):
+        return F.sha2(F.encode(col, "utf-8"), 256)
+
+    delta_docs = delta_docs.withColumn("text_sha256", _sha(F.col("text"))).persist()
+    n_delta = delta_docs.count()
+    if n_delta == 0:
+        delta_docs.unpersist()
+        return {"segment": segment, "N": 0, "skipped": skipped_count, "empty": True}
+
+    # stats must stay GLOBAL (whole index), not per-delta: avgdl/N from all
+    # segments incl. this delta (approximation: recompute over union of docs)
+    dl = doc_lengths(delta_docs)
+    docs_out = delta_docs.join(dl, "doc_id").select(
+        "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
+    )
+    seg_dir = os.path.join(index_dir, "segments", segment)
+    docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+
+    # record re-indexed (pre-existing) doc_ids: older segments' postings for
+    # these docs are stale and must be shadowed at query time until
+    # compaction rewrites them (LSM tombstone analogue). At real scale this
+    # would be a bloom filter per segment; here it's a tiny parquet.
+    matched.select("doc_id").distinct().write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "updated_ids")
+    )
+
+    stats = spark.read.parquet(os.path.join(seg_dir, "docs")).agg(
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+
+    postings = tokenize_postings(delta_docs)
+    plan = skew_plan(postings, rows_per_run)
+    salted = salt_postings(postings, plan)
+    # pack with the DELTA's avgdl for block-max bounds; the query engine
+    # rescales bounds by max(1, global_avgdl/seg_avgdl) for safety
+    blocks = with_bucket(
+        pack_blocks(salted, float(stats["avgdl"]), block_size), n_buckets
+    )
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(seg_dir, "postings")
+    )
+    written = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    term_stats = (
+        written.groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+        )
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats"))
+
+    manifest = {
+        "segment": segment,
+        "snapshot_id": f"delta:{segment}",
+        "N": int(stats["N"]),
+        "avgdl": float(stats["avgdl"]),
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "complete": True,
+        "updated": updated_count,
+        "inserted": 0 if not upsert else new_count,
+        "skipped": skipped_count,
+        "base": newest,
+    }
+    with open(os.path.join(seg_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    # atomic visibility flip = the reference's explicit refresh
+    top_path = os.path.join(index_dir, "MANIFEST.json")
+    with open(top_path) as f:
+        top = json.load(f)
+    top["segments"].append(segment)
+    with open(top_path, "w") as f:
+        json.dump(top, f, indent=2)
+    delta_docs.unpersist()
+    return manifest
+
+
+def stream_corpus_to_segments(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Structured Streaming ingestion: watch a directory of corpus parquet
+    files; each micro-batch becomes one ordered delta segment (foreachBatch +
+    merge idiom — SURVEY.md §2.8). Late/duplicate urls are handled by the
+    same newest-wins shadowing as batch updates."""
+    from opensearch_loader_spark.indexer import POSTING_SCHEMA  # noqa: F401
+
+    corpus_schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    stream = spark.readStream.schema(corpus_schema).parquet(source_dir)
+
+    def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_delta_segment(
+            spark, index_dir, batch_df, segment=f"seg-stream-{batch_id:06d}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_each_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

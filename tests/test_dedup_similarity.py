@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_loader_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from opensearch_loader_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "completely different text about spark and indexes"),
+        (4, "spark indexes and postings compression with varbyte"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    res = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in res}
+    assert by_keep[0] == 2  # docs 0 and 1
+    assert sum(by_keep.values()) == 6
+    assert len(by_keep) == 5
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=16, shingle_n=3)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, n_hashes=16, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    # near dups share most shingles → should collide in ≥1 of 8 bands
+    assert (0, 2) in pairs or (0, 5) in pairs
+    # unrelated docs shouldn't pair with the fox docs
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    res = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert res[(0, 1)] == 1.0
+    assert (0, 2) in res and 0.4 < res[(0, 2)] < 1.0
+    assert (0, 3) not in res
+
+
+def test_simhash_near_dups(spark, docs):
+    sim = simhash64(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert rows[0] == rows[1]  # identical text → identical simhash
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(sim, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # near-dup should be within a few bits; unrelated docs should not
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+    # 20 and 21: tiny perturbations of vec 0 → its nearest neighbours
+    rows.append((20, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((21, [float(x) for x in base[0] + 0.02 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    res = brute_force_topk(q, vectors, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in res][:2] == [20, 21]
+    assert res[0]["cosine"] > 0.99
+    # deterministic ordering fields present
+    assert [r["rank"] for r in res] == [1, 2, 3]
+
+
+def test_lsh_ann_recall_on_strong_neighbors(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    res = lsh_bucketed_topk(
+        q, vectors, dim=16, k=3, n_tables=12, bits_per_table=4
+    ).collect()
+    got = {r["neighbor_id"] for r in res}
+    # near-identical vectors almost surely share a bucket in ≥1 of 12 tables
+    assert 20 in got and 21 in got
+
+
+def test_multimodal_plumbing(spark):
+    from opensearch_loader_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        frame_sample_plan,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    feats = extract_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in
+             extract_features(media, dim=8, fake=True).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert again == first
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xxx", fake=False)
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(plan) == vids * 4  # 3500ms → samples at 0,1000,2000,3000

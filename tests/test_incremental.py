@@ -1,0 +1,155 @@
+"""Incremental updates, LSM shadowing, compaction, resume — SURVEY.md M5/M6."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_loader_spark.corpus import make_corpus_df, make_corpus_pdf
+from opensearch_loader_spark.indexer import build_index
+from opensearch_loader_spark.operators.merge import compact_segments
+from opensearch_loader_spark.oracle import build_oracle_index, oracle_topk
+from opensearch_loader_spark.query_engine import load_index_info, search
+from opensearch_loader_spark.streaming.incremental import build_delta_segment
+
+TS = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+CORPUS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _mk_update(spark, rows):
+    return spark.createDataFrame(
+        [(u, TS, None, t, "en") for u, t in rows], CORPUS_SCHEMA
+    )
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    corpus = make_corpus_df(spark, n_docs=120, seed=42)
+    build_index(spark, corpus, d, n_buckets=4, block_size=16, rows_per_run=50)
+    return d
+
+
+def _oracle_from_docs(spark, index_dir):
+    info = load_index_info(index_dir)
+    docs = {}
+    for m in info["segments"]:
+        p = os.path.join(index_dir, "segments", m["segment"], "docs")
+        for r in spark.read.parquet(p).select("doc_id", "text").collect():
+            docs[r["doc_id"]] = r["text"]  # later segments overwrite
+    return build_oracle_index(docs)
+
+
+def test_insert_only_delta_rank_identical(spark, small_index):
+    """Inserts (new urls) keep df/N exact → full rank identity pre-compaction."""
+    updates = _mk_update(
+        spark,
+        [
+            (f"https://new{i}.example/x/{i}", f"spark index varbyte delta block {i}")
+            for i in range(10)
+        ],
+    )
+    m = build_delta_segment(spark, small_index, updates, "seg-000001")
+    assert m["inserted"] == 10 and m["updated"] == 0
+    oracle = _oracle_from_docs(spark, small_index)
+    res = search(spark, small_index, [("q", "spark varbyte", 10)]).collect()
+    got = [(r["doc_id"], r["score"]) for r in sorted(res, key=lambda r: r["rank"])]
+    want = oracle_topk(oracle, "spark varbyte", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_update_shadows_old_postings(spark, small_index):
+    """Re-indexing an existing url must hide its old postings (no stale hits,
+    no double-count) even before compaction."""
+    docs = spark.read.parquet(
+        os.path.join(small_index, "segments", "seg-000000", "docs")
+    )
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    # rewrite the victim doc to contain ONLY a unique token
+    updates = _mk_update(spark, [(victim["url"], "uniquetokenxyz")])
+    m = build_delta_segment(spark, small_index, updates, "seg-000002")
+    assert m["updated"] == 1 and m["inserted"] == 0
+
+    # old content must no longer match the victim
+    old_terms = [t for t in victim["text"].lower().split() if t.isalnum()][:1]
+    if old_terms:
+        res = search(spark, small_index, [("q", old_terms[0], 200)]).collect()
+        assert victim["doc_id"] not in {r["doc_id"] for r in res}
+    # new content must match it
+    res2 = search(spark, small_index, [("q2", "uniquetokenxyz", 5)]).collect()
+    assert {r["doc_id"] for r in res2} == {victim["doc_id"]}
+
+
+def test_update_query_semantics_skip_missing(spark, small_index):
+    """upsert=False (reference update queries): unknown urls dropped+counted."""
+    updates = _mk_update(
+        spark,
+        [("https://site0.example/news/0", "replacement text"),
+         ("https://ghost.example/missing", "dropped")],
+    )
+    m = build_delta_segment(spark, small_index, updates, "seg-000003", upsert=False)
+    assert m["skipped"] == 1
+    assert m["updated"] == 1
+
+
+def test_compaction_rank_identical(spark, small_index):
+    """After updates + inserts, compaction must produce a single segment whose
+    results are rank-identical to an oracle on the merged corpus."""
+    docs = spark.read.parquet(
+        os.path.join(small_index, "segments", "seg-000000", "docs")
+    )
+    victims = [r["url"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    updates = _mk_update(
+        spark,
+        [(u, f"rewritten spark block text {i}") for i, u in enumerate(victims)]
+        + [("https://brandnew.example/a", "fresh spark delta page")],
+    )
+    build_delta_segment(spark, small_index, updates, "seg-000001")
+    man = compact_segments(spark, small_index, out_segment="seg-c0")
+    assert man["N"] == 121  # 120 + 1 insert
+    info = load_index_info(small_index)
+    assert [m["segment"] for m in info["segments"]] == ["seg-c0"]
+
+    oracle = _oracle_from_docs(spark, small_index)
+    for q in ["spark block", "the data", "rewritten", "fresh delta"]:
+        res = search(spark, small_index, [("q", q, 10)]).collect()
+        got = [(r["doc_id"], r["score"]) for r in sorted(res, key=lambda r: r["rank"])]
+        want = oracle_topk(oracle, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, q
+
+
+def test_resume_skips_completed_buckets(spark, tmp_path):
+    """Kill-and-resume: delete one bucket's checkpoint rows → resume rebuilds
+    only missing buckets; final index byte-identical in postings content."""
+    d = str(tmp_path / "idx")
+    corpus = make_corpus_df(spark, n_docs=80, seed=42)
+    build_index(spark, corpus, d, n_buckets=4, rows_per_run=50)
+    before = (
+        spark.read.parquet(os.path.join(d, "segments", "seg-000000", "postings"))
+        .agg(F.sum(F.crc32(F.hex("doc_gaps"))).cast("decimal(38,0)").alias("h"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    # simulate a crash after bucket 0..1 committed: mark manifest incomplete
+    import json
+
+    mpath = os.path.join(d, "segments", "seg-000000", "manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["complete"] = False
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    m2 = build_index(spark, corpus, d, n_buckets=4, rows_per_run=50, resume=True)
+    assert m2["complete"]
+    after = (
+        spark.read.parquet(os.path.join(d, "segments", "seg-000000", "postings"))
+        .agg(F.sum(F.crc32(F.hex("doc_gaps"))).cast("decimal(38,0)").alias("h"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert before["n"] == after["n"] and before["h"] == after["h"]
