@@ -42,6 +42,71 @@ from opensearch_loader_spark.functions.varbyte import delta_decode, varbyte_deco
 
 # --------------------------------------------------------------- index access
 
+_READER_CACHE: dict[str, "IndexReader"] = {}
+
+
+class IndexReader:
+    """Driver-side cached view of an index: manifests, term→(df, bucket)
+    stats, and per-segment shadow sets. Loading these once per index turns a
+    query into a single Spark job (blocks scan → per-query applyInPandas).
+
+    Scale note: the term-stats dict is collected to the driver only when the
+    vocabulary is small enough (`max_cached_terms`); past that, stats fall
+    back to per-query filtered reads (the vocab of a 10^12-doc corpus does
+    not fit a driver)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 max_cached_terms: int = 2_000_000):
+        self.dir = index_dir
+        self.info = load_index_info(index_dir)
+        self.term_stats: dict[str, tuple[int, int]] | None = None
+        total_terms = 0
+        stats: dict[str, tuple[int, int]] = {}
+        for seg in self.info["segments"]:
+            p = os.path.join(index_dir, "segments", seg["segment"], "term_stats")
+            df = spark.read.parquet(p)
+            total_terms += df.count()
+            if total_terms > max_cached_terms:
+                stats = {}
+                break
+            for r in df.collect():
+                df_prev = stats.get(r["term"], (0, r["bucket"]))[0]
+                stats[r["term"]] = (df_prev + int(r["df"]), int(r["bucket"]))
+        self.term_stats = stats or None
+        # per-segment shadow arrays (doc_ids re-indexed by newer segments)
+        seg_order = [m["segment"] for m in self.info["segments"]]
+        upd: dict[str, np.ndarray] = {}
+        for seg in seg_order[1:]:
+            p = os.path.join(index_dir, "segments", seg, "updated_ids")
+            if os.path.isdir(p):
+                rows = spark.read.parquet(p).collect()
+                if rows:
+                    upd[seg] = np.sort(
+                        np.array([r["doc_id"] for r in rows], np.int64)
+                    )
+        self.shadows: dict[str, np.ndarray | None] = {}
+        for i, seg in enumerate(seg_order):
+            newer = [upd[s] for s in seg_order[i + 1:] if s in upd]
+            self.shadows[seg] = (
+                np.unique(np.concatenate(newer)) if newer else None
+            )
+
+    def fingerprint(self) -> tuple:
+        top = os.path.join(self.dir, "MANIFEST.json")
+        return (self.dir, os.path.getmtime(top))
+
+
+def get_reader(spark: SparkSession, index_dir: str) -> IndexReader:
+    top = os.path.join(index_dir, "MANIFEST.json")
+    key = f"{index_dir}:{os.path.getmtime(top)}"
+    r = _READER_CACHE.get(key)
+    if r is None:
+        r = IndexReader(spark, index_dir)
+        _READER_CACHE.clear()  # keep at most a handful alive
+        _READER_CACHE[key] = r
+    return r
+
+
 def load_index_info(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         top = json.load(f)
@@ -76,11 +141,15 @@ def _bucket_of(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[st
     return {r["term"]: r["bucket"] for r in rows}
 
 
-def read_query_blocks(spark: SparkSession, info: dict, terms: list[str]) -> DataFrame:
+def read_query_blocks(
+    spark: SparkSession, info: dict, terms: list[str],
+    buckets: list[int] | None = None,
+) -> DataFrame:
     """Read only the posting blocks of the query terms: partition pruning on
     `bucket`, pushed-down `term IN` filter (verify with .explain →
     PushedFilters: In(term, ...))."""
-    buckets = sorted(set(_bucket_of(spark, terms, info["n_buckets"]).values()))
+    if buckets is None:
+        buckets = sorted(set(_bucket_of(spark, terms, info["n_buckets"]).values()))
     parts = []
     for seg in info["segments"]:
         p = os.path.join(info["dir"], "segments", seg["segment"], "postings")
@@ -395,17 +464,27 @@ def search(
     One applyInPandas group per query: the groupBy(query_id) shuffle
     co-locates every block a query needs on one task (SURVEY.md §4.2.4).
     """
-    info = load_index_info(index_dir)
+    reader = get_reader(spark, index_dir)
+    info = reader.info
     q_terms = {qid: query_terms(text) for qid, text, _ in queries}
     q_k = {qid: k for qid, _, k in queries}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
-    dfs = term_dfs(spark, info, all_terms)
+    if reader.term_stats is not None:
+        dfs = {
+            t: reader.term_stats[t][0] for t in all_terms if t in reader.term_stats
+        }
+        buckets = sorted({reader.term_stats[t][1] for t in dfs})
+    else:
+        dfs = term_dfs(spark, info, all_terms)
+        buckets = None
     N, avgdl = info["N"], info["avgdl"]
 
     if not all_terms or not any(t in dfs for ts in q_terms.values() for t in ts):
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    blocks = read_query_blocks(spark, info, [t for t in all_terms if t in dfs])
+    blocks = read_query_blocks(
+        spark, info, [t for t in all_terms if t in dfs], buckets=buckets
+    )
     qt_rows = [
         (qid, t) for qid, ts in q_terms.items() for t in ts if t in dfs
     ]
@@ -422,22 +501,8 @@ def search(
         m["segment"]: max(1.0, avgdl / m["avgdl"]) if m["avgdl"] else 1.0
         for m in info["segments"]
     }
-    # LSM shadowing: postings of segment i are stale for doc_ids re-indexed
-    # by any NEWER segment (updated_ids written by build_delta_segment).
-    seg_order = [m["segment"] for m in info["segments"]]
-    upd: dict[str, np.ndarray] = {}
-    for seg in seg_order[1:]:
-        p = os.path.join(index_dir, "segments", seg, "updated_ids")
-        if os.path.isdir(p):
-            rows = spark.read.parquet(p).collect()
-            if rows:
-                upd[seg] = np.sort(np.array([r["doc_id"] for r in rows], np.int64))
-    shadows: dict[str, np.ndarray | None] = {}
-    for i, seg in enumerate(seg_order):
-        newer = [upd[s] for s in seg_order[i + 1:] if s in upd]
-        shadows[seg] = (
-            np.unique(np.concatenate(newer)) if newer else None
-        )
+    # LSM shadowing sets come precomputed from the cached reader
+    shadows = reader.shadows
     b_meta = spark.sparkContext.broadcast(
         {"dfs": dfs, "q_terms": q_terms, "q_k": q_k, "N": N, "avgdl": avgdl,
          "conjunctive": conjunctive, "seg_scale": seg_scale,
