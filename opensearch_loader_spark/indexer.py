@@ -102,6 +102,16 @@ def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
     spark = corpus.sparkSession
     n_part = id_partitions or corpus.sparkSession.sparkContext.defaultParallelism
 
+    # Timestamps are shipped through the Arrow/pandas boundary as epoch
+    # micros (int64): Spark's session-timezone localization of TimestampType
+    # in Python workers has a large per-task cost that anti-scales with
+    # thread count (measured 3.2s@8 → 22.1s@32 threads for a passthrough of
+    # 1M rows); int64 moves at full Arrow speed. Restored to TimestampType
+    # after the last Python stage.
+    corpus_us = corpus.withColumn(
+        "warc_ts_us", F.unix_micros(F.col("warc_ts"))
+    ).drop("warc_ts")
+
     # 1. authoritative text: `text` column, else extracted from html.
     #    Byte-identity per url is guaranteed because extract_text_from_html
     #    is a pure function (north rule); we record sha256 for the check.
@@ -115,22 +125,22 @@ def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
             pdf["text_sha256"] = pdf["text"].map(
                 lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest()
             )
-            yield pdf[["url", "warc_ts", "lang", "text", "text_sha256"]]
+            yield pdf[["url", "warc_ts_us", "lang", "text", "text_sha256"]]
 
     extracted_schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
-            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("warc_ts_us", T.LongType()),
             T.StructField("lang", T.StringType()),
             T.StructField("text", T.StringType()),
             T.StructField("text_sha256", T.StringType()),
         ]
     )
-    extracted = corpus.mapInPandas(_extract, schema=extracted_schema)
+    extracted = corpus_us.mapInPandas(_extract, schema=extracted_schema)
 
     # 2. last-writer-wins dedup on url (upsert semantics of the reference's
     #    bulk_upsert keyed on id_field, opensearch_client.py:199-213)
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts_us"))
     deduped = (
         extracted.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -155,11 +165,19 @@ def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
-        list(extracted_schema.fields) + [T.StructField("doc_id", T.LongType())]
+        list(extracted_schema.fields)
+        + [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_len", T.IntegerType()),
+        ]
     )
+    findall = TOKEN_RE.findall
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # iterator is per-partition; rows arrive in sorted order
+        # iterator is per-partition; rows arrive in sorted order. doc_len is
+        # computed here (map-side, same tokenizer as the postings stage)
+        # rather than derived from postings later — deriving it would cost a
+        # full (term,doc)-row shuffle plus a docs-sized join.
         next_id = None
         for pdf in batches:
             if len(pdf) == 0:
@@ -168,10 +186,18 @@ def prepare_docs(corpus: DataFrame, id_partitions: int = 0) -> DataFrame:
                 next_id = b_offsets.value[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
             pdf["doc_id"] = np.arange(next_id, next_id + len(pdf), dtype=np.int64)
+            pdf["doc_len"] = np.asarray(
+                [len(findall(t.lower())) if t else 0 for t in pdf["text"].values],
+                dtype=np.int32,
+            )
             next_id += len(pdf)
             yield pdf
 
-    return parted.mapInPandas(_assign, schema=out_schema)
+    assigned = parted.mapInPandas(_assign, schema=out_schema)
+    # restore the real timestamp type at the JVM side
+    return assigned.withColumn(
+        "warc_ts", F.timestamp_micros(F.col("warc_ts_us"))
+    ).drop("warc_ts_us")
 
 
 # ------------------------------------------------------------------- stage 4
@@ -199,9 +225,11 @@ def tokenize_postings(docs: DataFrame) -> DataFrame:
                     docs_out.append(doc_id)
                     tfs_out.append(tf)
                     dls_out.append(dl)
+            # plain object-dtype for the string column: pandas StringArray
+            # construction costs more than the Arrow conversion saves
             yield pd.DataFrame(
                 {
-                    "term": pd.array(terms_out, dtype="string"),
+                    "term": terms_out,
                     "doc_id": np.asarray(docs_out, dtype=np.int64),
                     "tf": np.asarray(tfs_out, dtype=np.int32),
                     "dl": np.asarray(dls_out, dtype=np.int32),
@@ -316,8 +344,15 @@ def pack_blocks(
 ) -> DataFrame:
     """(term, run)-grouped block packing. The groupBy's shuffle IS the
     salted repartition-by-term: Spark hash-partitions on (term, run), so a
-    head term's runs land on different tasks (explicit skew splitting)."""
-    n = shuffle_partitions or salted.sparkSession.sparkContext.defaultParallelism
+    head term's runs land on different tasks (explicit skew splitting).
+
+    Partition count is sized by DATA, not by core count (floor of 32):
+    fewer-but-fatter partitions on a small executor pool would spill and
+    skew the low-parallelism leg of scaling runs; excess partitions just
+    queue, exactly as on a real cluster."""
+    n = shuffle_partitions or max(
+        32, salted.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         salted.repartition(n, "term", "run")
         .groupBy("term", "run")
@@ -382,19 +417,14 @@ def build_index(
             return existing
 
     t0 = time.time()
-    docs = prepare_docs(corpus).persist()
-    # ONE tokenization pass: postings carry dl, so doc_len derives from the
-    # postings table instead of re-tokenizing (token-less docs → doc_len 0)
+    stage_t: dict[str, float] = {}
+    docs = prepare_docs(corpus).persist()  # carries doc_len (map-side)
     postings = tokenize_postings(docs).persist()
-    dl_tbl = postings.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
-    docs_out = (
-        docs.join(dl_tbl, "doc_id", "left")
-        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
-        .select(
-            "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
-        )
+    docs_out = docs.select(
+        "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
     )
     docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    stage_t["docs_write"] = round(time.time() - t0, 3)
 
     # corpus stats (N, avgdl) — read back from the written docs table so the
     # stats job reuses the materialized output instead of recomputing lineage
@@ -429,6 +459,7 @@ def build_index(
     blocks.write.mode("append" if done_buckets else "overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(seg_dir, "postings"))
+    stage_t["postings_write"] = round(time.time() - t0, 3)
 
     # term stats (df per term; aggregated across runs)
     written = spark.read.parquet(os.path.join(seg_dir, "postings"))
@@ -470,6 +501,7 @@ def build_index(
         "block_size": block_size,
         "rows_per_run": rows_per_run,
         "build_secs": round(time.time() - t0, 3),
+        "stage_secs": stage_t,
         "complete": True,
         "build_id": str(uuid.uuid4()),
     }

@@ -290,11 +290,10 @@ class _TopK:
 
     def offer(self, score: float, doc_id: int) -> None:
         # candidates arrive in ascending doc_id → equal scores never replace
-        if len(self.items) < self.k:
+        if len(self.items) < self.k or score > self.items[-1][0]:
             insort(self.items, (score, doc_id), key=lambda it: (-it[0], it[1]))
-        elif score > self.items[-1][0]:
-            insort(self.items, (score, doc_id), key=lambda it: (-it[0], it[1]))
-            self.items.pop()
+            if len(self.items) > self.k:
+                self.items.pop()
 
 
 def bmw_topk(
@@ -560,14 +559,70 @@ def search(
 
     out = joined.groupBy("query_id").applyInPandas(_bmw, schema=TOPK_SCHEMA)
     if hydrate:
-        docs = spark.read.parquet(
-            os.path.join(index_dir, "segments", info["segments"][-1]["segment"], "docs")
-        ).select("doc_id", "url")
-        # top-k is tiny → broadcast it, stream the big docs table past it
-        out = docs.join(F.broadcast(out), "doc_id").select(
-            "query_id", "rank", "doc_id", "score", "url"
+        # union of ALL live segments' docs tables (a doc's stored fields live
+        # in whichever segment indexed it last; duplicates resolved
+        # newest-wins). top-k is tiny → broadcast it, stream docs past it.
+        from pyspark.sql.window import Window
+
+        parts = []
+        for i, m in enumerate(info["segments"]):
+            p = os.path.join(index_dir, "segments", m["segment"], "docs")
+            parts.append(
+                spark.read.parquet(p).select("doc_id", "url").withColumn(
+                    "_rank", F.lit(i)
+                )
+            )
+        docs = parts[0]
+        for d in parts[1:]:
+            docs = docs.unionByName(d)
+        joined_docs = docs.join(F.broadcast(out), "doc_id")
+        w = Window.partitionBy("query_id", "doc_id").orderBy(F.desc("_rank"))
+        out = (
+            joined_docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", "rank", "doc_id", "score", "url")
         )
     return out
+
+
+def prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    max_expansion: int = 64,
+) -> DataFrame:
+    """search_as_you_type analogue (reference loader.py:237-276 installs the
+    OpenSearch field type; its prefix semantics are re-expressed here as
+    query-time prefix→term expansion instead of edge-ngram index blowup).
+
+    Expands the prefix against the index vocabulary (cached term stats —
+    highest-df terms first, capped at max_expansion, mirroring Lucene's
+    rewrite cap for multi-term queries) and runs a disjunctive BM25 top-k
+    over the expanded terms."""
+    prefix = prefix.lower()
+    reader = get_reader(spark, index_dir)
+    if reader.term_stats is not None:
+        matches = [t for t in reader.term_stats if t.startswith(prefix)]
+        matches.sort(key=lambda t: (-reader.term_stats[t][0], t))
+    else:  # big-vocab path: filter term_stats relationally
+        dfs = []
+        for seg in reader.info["segments"]:
+            p = os.path.join(index_dir, "segments", seg["segment"], "term_stats")
+            dfs.append(spark.read.parquet(p))
+        union = dfs[0]
+        for d in dfs[1:]:
+            union = union.unionByName(d)
+        rows = (
+            union.filter(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), "term").limit(max_expansion).collect()
+        )
+        matches = [r["term"] for r in rows]
+    matches = matches[:max_expansion]
+    if not matches:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return search(spark, index_dir, [(f"prefix:{prefix}", " ".join(matches), k)])
 
 
 # ----------------------------------------------- naive Catalyst-path scorer

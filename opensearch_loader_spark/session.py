@@ -24,6 +24,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # RAM-backed shuffle dirs: the sandbox's /tmp sits on a single vda
+        # disk that collapses under many concurrent shuffle writers; a real
+        # cluster would use striped local SSDs (this is a local-mode knob,
+        # not a design assumption)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -98,8 +98,13 @@ def build_delta_segment(
     skipped_count = 0 if upsert else new_count
 
     if upsert and new_count:
-        # assign fresh docIDs above max (per-partition offsets, as in build)
-        parted = unmatched.repartitionByRange(
+        # assign fresh docIDs above max (per-partition offsets, as in build);
+        # timestamps cross the Arrow boundary as epoch micros (see
+        # indexer.prepare_docs for the anti-scaling rationale)
+        unmatched_us = unmatched.withColumn(
+            "warc_ts_us", F.unix_micros(F.col("warc_ts"))
+        ).drop("warc_ts")
+        parted = unmatched_us.repartitionByRange(
             max(1, spark.sparkContext.defaultParallelism // 2), "url"
         ).sortWithinPartitions("url").withColumn("_pid", F.spark_partition_id())
         counts = {
@@ -128,7 +133,11 @@ def build_delta_segment(
                 nid += len(pdf)
                 yield pdf
 
-        fresh = parted.mapInPandas(_assign, schema)
+        fresh = (
+            parted.mapInPandas(_assign, schema)
+            .withColumn("warc_ts", F.timestamp_micros(F.col("warc_ts_us")))
+            .drop("warc_ts_us")
+        )
         delta_docs = matched.unionByName(fresh)
     else:
         delta_docs = matched
