@@ -73,11 +73,23 @@ def main() -> None:
             reps.append(time.time() - t0)
         timings[name + "_p50"] = round(statistics.median(reps), 3)
 
+    # round 2: filtered search (stored-field predicate → allowed bitmap)
+    reps = []
+    for _ in range(5):
+        t0 = time.time()
+        search(
+            spark, idx_dir, [("q", "spark hash merge", 10)],
+            doc_filter="lang = 'en'",
+        ).collect()
+        reps.append(time.time() - t0)
+    timings["bmw_filtered_p50"] = round(statistics.median(reps), 3)
+
     # ---- representative driver-contract queries (Catalyst paths) ----
     queries = entrymod.queries()
     for name in [
         "tokenize_tf", "bm25_topk", "agg_pricing_summary", "join_top_customers",
         "embedding_cosine_topk", "dedup_exact", "quality_score", "update_merge",
+        "token_jaccard_pairs", "ann_lsh_topk", "simhash",
     ]:
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -55,6 +55,28 @@ def edge_ngrams(token: str, min_n: int = 2, max_n: int = 3) -> list[str]:
     return [token[:n] for n in range(min_n, min(max_n, len(token)) + 1)]
 
 
+SAYT_MAX_PREFIX = 10
+
+
+def sayt_analyzer(text: str | None) -> list[str]:
+    """search_as_you_type index-time analyzer (reference loader.py:237-276 →
+    OpenSearch subfields): base tokens + 2-shingles ("2g:a b") + 3-shingles
+    ("3g:a b c") + edge-ngram prefixes of each token ("pf:s", "pf:sp", ...
+    capped at SAYT_MAX_PREFIX, Lucene's index_prefixes analogue). Subfield
+    terms are namespaced so they can never collide with base tokens — posting
+    lists key on arbitrary strings, only the analyzer defines term shape."""
+    toks = tokenize(text)
+    out = list(toks)
+    for n, tag in ((2, "2g:"), (3, "3g:")):
+        if len(toks) >= n:
+            out.extend(
+                tag + " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+    for t in toks:
+        out.extend(f"pf:{t[:n]}" for n in range(1, min(len(t), SAYT_MAX_PREFIX) + 1))
+    return out
+
+
 def shingles(tokens: list[str], n: int = 3) -> list[str]:
     """Word n-gram shingles (for MinHash / Jaccard dedup)."""
     if len(tokens) < n:

@@ -86,19 +86,45 @@ def random_hyperplanes(dim: int, n_tables: int, bits_per_table: int, seed: int =
     return rng.standard_normal((n_tables, bits_per_table, dim))
 
 
+def md5_sign_planes(dim: int, n_tables: int, bits_per_table: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 parity — a valid
+    sign-random-projection family that ANY engine can reproduce in SQL
+    (DuckDB oracle: parity of md5('pl:t:b:d')'s first hex nibble). Used with
+    integer-quantized inputs so projections are EXACT int64 arithmetic:
+    bucket keys are bit-identical across engines, never float-sign-flaky."""
+    import hashlib
+
+    out = np.empty((n_tables, bits_per_table, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(bits_per_table):
+            for d in range(dim):
+                v = int(hashlib.md5(f"pl:{t}:{b}:{d}".encode()).hexdigest()[0], 16)
+                out[t, b, d] = 1 if v % 2 == 1 else -1
+    return out
+
+
 def lsh_bucket_keys(
     vectors: DataFrame,
     dim: int,
     n_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """(vec_id, table, bucket) — sign-random-projection LSH. The hyperplane
-    tensor is tiny and shipped in the UDF closure (broadcast-equivalent)."""
+    tensor is tiny and shipped in the UDF closure (broadcast-equivalent).
+
+    plane_family="md5sign": deterministic ±1 planes + floor(val*1e6) int64
+    quantization → projections are exact integer sums, reproducible in SQL
+    (the driver's DuckDB oracle computes the identical buckets)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    planes = random_hyperplanes(dim, n_tables, bits_per_table, seed)
+    if plane_family == "md5sign":
+        planes = md5_sign_planes(dim, n_tables, bits_per_table)
+    else:
+        planes = random_hyperplanes(dim, n_tables, bits_per_table, seed)
+    quantize = plane_family == "md5sign"
 
     schema = T.StructType(
         [
@@ -111,6 +137,8 @@ def lsh_bucket_keys(
     def _buckets(batches):
         for pdf in batches:
             mat = np.stack(pdf["embedding"].values).astype(np.float64)  # (n, dim)
+            if quantize:
+                mat = np.floor(mat * 1_000_000.0).astype(np.int64)
             out_ids, out_tab, out_bkt = [], [], []
             for t in range(n_tables):
                 proj = mat @ planes[t].T  # (n, bits)
@@ -138,17 +166,18 @@ def lsh_bucketed_topk(
     n_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """ANN: score only bucket-colliding candidates, then exact cosine + top-k
     on the candidate set."""
     from pyspark.sql.window import Window
 
-    qb = lsh_bucket_keys(queries, dim, n_tables, bits_per_table, seed).select(
-        F.col("vec_id").alias("query_id"), "table", "bucket"
-    )
-    cb = lsh_bucket_keys(corpus, dim, n_tables, bits_per_table, seed).select(
-        F.col("vec_id").alias("neighbor_id"), "table", "bucket"
-    )
+    qb = lsh_bucket_keys(
+        queries, dim, n_tables, bits_per_table, seed, plane_family
+    ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    cb = lsh_bucket_keys(
+        corpus, dim, n_tables, bits_per_table, seed, plane_family
+    ).select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -26,6 +26,68 @@ class ModelError(ValueError):
     pass
 
 
+# reference props.py:8-19 DEFAULT_TYPE_MAPPING + schema.py:17 DEFAULT_TYPE
+DEFAULT_TYPE = "String"
+DEFAULT_TYPE_MAPPING = {
+    "string": "String",
+    "number": "Float",
+    "integer": "Int",
+    "boolean": "Boolean",
+    "array": "Array",
+    "list": "Array",
+    "object": "Object",
+    "datetime": "DateTime",
+    "date": "Date",
+    "TBD": "String",
+}
+
+
+def map_type(type_name: str, type_mapping: dict | None = None) -> str:
+    """Type-name mapping with default fallback (schema.py:258-272): unmapped
+    names quietly become DEFAULT_TYPE."""
+    return (type_mapping or DEFAULT_TYPE_MAPPING).get(type_name, DEFAULT_TYPE)
+
+
+def resolve_prop_type(prop_def: dict, type_mapping: dict | None = None):
+    """(type, enum|None) with the reference's full Type resolution
+    (schema.py:232-256):
+    - ``Type: <str>``       → mapped via type_mapping, default DEFAULT_TYPE
+    - ``Type: [a, b, ...]`` → LIST MEANS ENUM: enum=set(values),
+                              type=DEFAULT_TYPE
+    - no Type, ``Enum: [...]`` → enum=set(values), type='Enum'
+    - ``Type: {Enum: [...]}``  → convenience dict form (kept from round 1)
+    Enum values are deduplicated (reference builds a set); sorted here for
+    deterministic output."""
+    ptype = prop_def.get("Type")
+    if isinstance(ptype, str):
+        return map_type(ptype, type_mapping), None
+    if isinstance(ptype, list):
+        vals = sorted({str(v) for v in ptype})
+        if vals:
+            return DEFAULT_TYPE, vals
+        return DEFAULT_TYPE, None
+    if isinstance(ptype, dict):
+        vals = sorted({str(v) for v in ptype.get("Enum", [])})
+        return ("Enum", vals) if vals else (DEFAULT_TYPE, None)
+    if ptype is None and isinstance(prop_def.get("Enum"), list):
+        vals = sorted({str(v) for v in prop_def["Enum"]})
+        if vals:
+            return "Enum", vals
+    return DEFAULT_TYPE, None
+
+
+def validate_enum_values(df: DataFrame, column: str, allowed: list[str]) -> DataFrame:
+    """Enum membership gate (`isin`, SURVEY §1.2): any non-null value of
+    `column` outside the enum set rejects the batch."""
+    bad = df.filter(
+        F.col(column).isNotNull() & ~F.col(column).isin(allowed)
+    ).limit(5).collect()
+    if bad:
+        vals = [r[column] for r in bad]
+        raise ModelError(f"invalid enum values in {column!r}: {vals}")
+    return df
+
+
 MODEL_SCHEMA = T.StructType(
     [
         T.StructField("node", T.StringType()),
@@ -74,21 +136,21 @@ def derive_id_fields(model: dict) -> dict[str, str]:
     return out
 
 
-def model_to_df(spark: SparkSession, model: dict) -> DataFrame:
+def model_to_df(
+    spark: SparkSession, model: dict, type_mapping: dict | None = None
+) -> DataFrame:
     props_def = model.get("PropDefinitions", {})
     rows = []
     for node, spec in sorted(model.get("Nodes", {}).items()):
         props = []
         for p in spec.get("Props", []) or []:
             d = props_def.get(p) or {}
-            ptype = d.get("Type", "String")
-            enum = None
-            if isinstance(ptype, dict):
-                enum = [str(v) for v in ptype.get("Enum", [])] or None
-                ptype = "Enum" if enum else "String"
-            props.append(
-                (p, str(ptype), str(ptype) == "@relation", bool(d.get("Key")), enum)
-            )
+            raw = d.get("Type")
+            if raw == "@relation":  # relation marker bypasses type mapping
+                props.append((p, "@relation", True, bool(d.get("Key")), None))
+                continue
+            ptype, enum = resolve_prop_type(d, type_mapping)
+            props.append((p, ptype, False, bool(d.get("Key")), enum))
         rows.append((node, props))
     return spark.createDataFrame(rows, MODEL_SCHEMA)
 

@@ -33,6 +33,18 @@ def validate_read_only(query: str) -> None:
         raise QueryValidationError("query must contain a read clause")
 
 
+def validate_predicate(pred: str) -> None:
+    """Write-keyword lint for a bare filter predicate (loader spec `where`
+    clauses): same guard as validate_read_only minus the read-clause
+    requirement — a predicate has no read verb of its own."""
+    if not pred or not pred.strip():
+        raise QueryValidationError("empty predicate")
+    upper = pred.upper()
+    for kw in WRITE_KEYWORDS:
+        if re.search(rf"\b{kw}\b", upper):
+            raise QueryValidationError(f"write keyword not allowed: {kw}")
+
+
 def validate_pagination_params(query: str) -> None:
     """Reference requires literal $skip/$limit (memgraph_client.py:74-95);
     kept as a spec lint for paging-emulation mode."""

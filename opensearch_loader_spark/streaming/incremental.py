@@ -21,8 +21,29 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _extract_if_null(text: pd.Series, html: pd.Series) -> pd.Series:
+    """html→text extraction for rows whose text is NULL — same stage as
+    prepare_docs at initial build (byte-identical per url). A row with
+    NEITHER text nor html fails fast rather than silently indexing empty.
+    Wrapped in F.pandas_udf lazily (needs an active session)."""
+    from opensearch_loader_spark.corpus import extract_text_from_html
+
+    need = text.isna()
+    if need.any():
+        text = text.copy()
+
+        def _one(h):
+            if h is None:
+                raise ValueError("update row has neither text nor html")
+            return extract_text_from_html(bytes(h))
+
+        text.loc[need] = html.loc[need].map(_one)
+    return text
 
 from opensearch_loader_spark import BLOCK_SIZE
 from opensearch_loader_spark.indexer import (
@@ -90,6 +111,14 @@ def build_delta_segment(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+    # html→text extraction for rows whose text is NULL (ADVICE round-1: an
+    # html-only update must index its extracted text, not NULL)
+    if "html" in batch.columns:
+        extract_udf = F.pandas_udf(_extract_if_null, "string")
+        batch = batch.withColumn(
+            "text", extract_udf(F.col("text"), F.col("html"))
+        )
     joined = batch.join(existing, "url", "left")
     matched = joined.filter(F.col("doc_id").isNotNull())
     unmatched = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
@@ -169,7 +198,8 @@ def build_delta_segment(
     )
 
     stats = spark.read.parquet(os.path.join(seg_dir, "docs")).agg(
-        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
     ).collect()[0]
 
     postings = tokenize_postings(delta_docs)
@@ -198,6 +228,7 @@ def build_delta_segment(
         "snapshot_id": f"delta:{segment}",
         "N": int(stats["N"]),
         "avgdl": float(stats["avgdl"]),
+        "max_doc_id": max(int(max_id), int(stats["max_doc_id"])),
         "n_buckets": n_buckets,
         "block_size": block_size,
         "complete": True,

@@ -151,3 +151,111 @@ def test_hydration(spark, tiny_index):
     res = search(spark, d, [("h1", "spark", 5)], hydrate=True).collect()
     assert len(res) == 5
     assert all(r["url"].startswith("https://site") for r in res)
+
+
+def test_chunked_search_rank_identical(spark, tiny_index, oracle_index):
+    """Doc-range partitioned scoring (postings_per_task tiny → many chunks)
+    must merge to results bit-identical to the single-chunk path — this is
+    the round-2 bound on per-task cost for head-term queries."""
+    d, _ = tiny_index
+    queries = reference_query_set()
+    res = search(spark, d, queries, postings_per_task=40).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in queries:
+        want = oracle_topk(oracle_index, qtext, k)
+        got = [(d_, s) for _, d_, s in sorted(by_q.get(qid, []))]
+        _assert_rank_identical(got, want, qid)
+
+
+def test_chunked_search_uses_multiple_chunks(spark, tiny_index):
+    """Plan-shape assertion: with a tiny postings_per_task, a head-term query
+    fans out across >1 (query_id, chunk) group."""
+    from opensearch_loader_spark.query_engine import get_reader
+
+    d, _ = tiny_index
+    reader = get_reader(spark, d)
+    df_the = reader.term_stats["the"][0]
+    assert df_the > 40, "fixture corpus should make 'the' a head term"
+    # count distinct chunks actually scored by instrumenting width math
+    import math as _m
+
+    n_chunks = _m.ceil(df_the / 40)
+    width = -(-(reader.max_doc + 1) // n_chunks)
+    assert -(-(reader.max_doc + 1) // width) > 1
+
+
+def test_chunked_conjunctive_rank_identical(spark, tiny_index, oracle_index):
+    d, _ = tiny_index
+    queries = [("c1", "index search", 10), ("c2", "the data", 10)]
+    res = search(spark, d, queries, conjunctive=True, postings_per_task=40).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in queries:
+        want = oracle_topk_conjunctive(oracle_index, qtext, k)
+        got = [(d_, s) for _, d_, s in sorted(by_q.get(qid, []))]
+        _assert_rank_identical(got, want, qid)
+
+
+def test_filtered_search_matches_post_filter(spark, tiny_index, oracle_index):
+    """Filter-context semantics: top-k AMONG docs passing the stored-field
+    predicate, scores unchanged (BM25 stats stay corpus-global). Oracle =
+    full ranking post-filtered."""
+    d, _ = tiny_index
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    allowed = {r["doc_id"] for r in docs.filter("lang = 'en'").collect()}
+    assert 0 < len(allowed) < docs.count()
+    for qtext in ["the data", "spark index", "block merge the"]:
+        res = search(
+            spark, d, [("q", qtext, 10)], doc_filter="lang = 'en'"
+        ).collect()
+        got = [
+            (r["doc_id"], r["score"]) for r in sorted(res, key=lambda r: r["rank"])
+        ]
+        full = oracle_topk(oracle_index, qtext, 10**9)
+        want = [(d_, s) for d_, s in full if d_ in allowed][:10]
+        _assert_rank_identical(got, want, f"filtered:{qtext}")
+        assert all(d_ in allowed for d_, _ in got)
+
+
+def test_filtered_search_no_matches_is_empty(spark, tiny_index):
+    d, _ = tiny_index
+    res = search(spark, d, [("q", "the", 5)], doc_filter="lang = 'xx'").collect()
+    assert res == []
+
+
+def test_search_as_you_type_bool_prefix(spark, tmp_path):
+    """True SAYT (round-2): index-time edge-ngram + shingle subfields via
+    sayt_analyzer; bool_prefix queries match full leading tokens AND the last
+    token as an indexed prefix. Oracle: python token scan over the corpus."""
+    from opensearch_loader_spark.analysis import sayt_analyzer, tokenize
+    from opensearch_loader_spark.corpus import make_corpus_df
+    from opensearch_loader_spark.indexer import build_index
+    from opensearch_loader_spark.query_engine import sayt_search
+
+    d = str(tmp_path / "sayt_idx")
+    corpus = make_corpus_df(spark, n_docs=80, seed=3)
+    build_index(spark, corpus, d, n_buckets=4, block_size=16,
+                rows_per_run=10**9, analyzer=sayt_analyzer)
+
+    docs = spark.read.parquet(os.path.join(d, "segments", "seg-000000", "docs"))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    for q in ["the da", "spark in", "block me", "qu"]:
+        toks = tokenize(q)
+        *full, last = toks
+        want = {
+            did for did, t in texts.items()
+            if all(ft in tokenize(t) for ft in full)
+            and any(tok.startswith(last) for tok in tokenize(t))
+        }
+        res = sayt_search(spark, d, q, k=10**6, operator="and").collect()
+        got = {r["doc_id"] for r in res}
+        assert got == want, f"{q}: {sorted(got)[:5]} vs {sorted(want)[:5]}"
+
+    # phrase mode requires adjacency of the full leading tokens
+    res = sayt_search(spark, d, "the data x", k=10**6, phrase=True).collect()
+    for r in res:
+        assert "the data" in texts[r["doc_id"]].lower()

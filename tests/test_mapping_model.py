@@ -135,3 +135,70 @@ def test_query_lint():
     validate_pagination_params("MATCH (u) RETURN u SKIP $skip LIMIT $limit")
     with pytest.raises(QueryValidationError):
         validate_pagination_params("MATCH (u) RETURN u")
+
+
+def test_model_type_resolution_edge_cases(spark):
+    """Reference schema.py:232-272: list-form Type = enum with DEFAULT_TYPE;
+    bare Enum key = enum with type 'Enum'; str Type mapped via type_mapping
+    with default fallback."""
+    from opensearch_loader_spark.plans.model import (
+        DEFAULT_TYPE,
+        map_type,
+        model_to_df,
+        resolve_prop_type,
+    )
+
+    assert map_type("integer") == "Int"
+    assert map_type("datetime") == "DateTime"
+    assert map_type("no_such_type") == DEFAULT_TYPE
+    assert map_type("integer", {"integer": "Long"}) == "Long"
+
+    assert resolve_prop_type({"Type": "string"}) == ("String", None)
+    assert resolve_prop_type({"Type": ["b", "a", "b"]}) == ("String", ["a", "b"])
+    assert resolve_prop_type({"Enum": ["x", "y"]}) == ("Enum", ["x", "y"])
+    assert resolve_prop_type({"Type": {"Enum": ["z"]}}) == ("Enum", ["z"])
+    assert resolve_prop_type({"Type": []}) == ("String", None)
+    assert resolve_prop_type({}) == ("String", None)
+
+    model = {
+        "Nodes": {"n": {"Props": ["a", "b", "c", "r"]}},
+        "PropDefinitions": {
+            "a": {"Type": ["red", "blue"]},        # list = enum
+            "b": {"Enum": ["p", "q"]},             # bare Enum key
+            "c": {"Type": "integer"},              # mapped scalar
+            "r": {"Type": "@relation"},            # relation skipped in docs
+        },
+    }
+    df = model_to_df(spark, model)
+    props = {p["name"]: p for p in df.collect()[0]["props"]}
+    assert props["a"]["type"] == "String" and props["a"]["enum"] == ["blue", "red"]
+    assert props["b"]["type"] == "Enum" and props["b"]["enum"] == ["p", "q"]
+    assert props["c"]["type"] == "Int" and props["c"]["enum"] is None
+    assert props["r"]["is_relation"] is True
+
+
+def test_model_value_docs_from_list_enum(spark):
+    from opensearch_loader_spark.plans.model import model_documents
+
+    model = {
+        "Nodes": {"n": {"Props": ["a"]}},
+        "PropDefinitions": {"a": {"Type": ["red", "blue"]}},
+    }
+    vals = model_documents(spark, model, "value").collect()
+    assert sorted(r["doc_id"] for r in vals) == ["n_a_blue", "n_a_red"]
+
+
+def test_validate_enum_values(spark):
+    from opensearch_loader_spark.plans.model import ModelError, validate_enum_values
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, None)], "id long, color string"
+    )
+    validate_enum_values(df, "color", ["red", "blue"])  # passes, NULL allowed
+    import pytest as _pytest
+
+    with _pytest.raises(ModelError, match="green"):
+        validate_enum_values(
+            df.union(spark.createDataFrame([(4, "green")], df.schema)),
+            "color", ["red", "blue"],
+        )
