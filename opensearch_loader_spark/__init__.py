@@ -17,7 +17,10 @@ and the delegated search-side operators natively on Spark:
 - ``operators``      dedup / similarity / update-merge / multimodal plumbing
 - ``plans``          mapping parse + validation (reference loader.py:281-458)
 - ``oracle``         pure-Python golden BM25 scorer (stand-in for OpenSearch)
-- ``checkpoint``     per-partition lineage + resumable builds
+- ``loader``         spec-driven multi-index orchestration + Config precedence
+- ``streaming``      delta segments / Structured Streaming ingestion;
+                     per-partition lineage + resumable builds live in
+                     ``indexer`` (checkpoints/ directory per segment)
 """
 
 __version__ = "0.1.0"

@@ -249,7 +249,16 @@ def read_query_blocks(
 
 
 def term_dfs(spark: SparkSession, info: dict, terms: list[str]) -> dict[str, int]:
-    """Global df per query term (summed across segments) — idf input."""
+    """Global df per query term (summed across segments) — idf input.
+
+    Known approximation (ADVICE r1): between an in-place UPDATE and the next
+    compaction, a re-indexed doc contributes to df in BOTH its old and new
+    segments (the sum here has no shadow correction), so idf can drift
+    slightly until compact_segments rewrites term_stats exactly. INSERT-only
+    deltas are exact (disjoint docs). Exact-correction would need per-term
+    shadowed-df deltas — cost ≈ another postings pass per update; we instead
+    pin the contract: exact oracle parity holds for insert-only deltas and
+    for any index after compaction (tested in test_incremental)."""
     if not terms:
         return {}
     dfs: dict[str, int] = {}
