@@ -43,7 +43,14 @@ corpus = (
     .repartition(cores * 2)
 )
 n = corpus.count()
-d = tempfile.mkdtemp(prefix=f"osls_scale_{cores}_")
+# index output on tmpfs: the sandbox has ONE vda disk whose bandwidth is
+# core-invariant and would dominate both legs (a real cluster writes to
+# striped local SSDs / object storage whose aggregate bandwidth scales with
+# executors) — same rationale as spark.local.dir=/dev/shm in session.py
+d = tempfile.mkdtemp(
+    prefix=f"osls_scale_{cores}_",
+    dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"),
+)
 t0 = time.time()
 m = build_index(spark, corpus, d, n_buckets=max(16, cores), rows_per_run=500_000)
 secs = time.time() - t0

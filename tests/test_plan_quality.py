@@ -106,3 +106,16 @@ def test_salting_does_not_change_index(spark, tmp_path):
     build_index(spark, corpus, d1, n_buckets=4, rows_per_run=20)   # heavy salting
     build_index(spark, corpus, d2, n_buckets=4, rows_per_run=10**9)  # none
     assert decoded_postings(d1) == decoded_postings(d2)
+
+
+def test_full_search_plan_keeps_pushdown(spark, tiny_index):
+    """Round-2 chunked scoring must not break scan pruning: the end-to-end
+    search() plan still shows the term IN pushdown and bucket partition
+    pruning below the (query_id, chunk) explode/groupBy."""
+    from opensearch_loader_spark.query_engine import search
+
+    d, _ = tiny_index
+    df = search(spark, d, [("q", "spark data", 5)])
+    plan = _plan(df)
+    assert "In(term" in plan or "EqualTo(term" in plan
+    assert "PartitionFilters" in plan
