@@ -11,8 +11,9 @@ Stages (all DataFrame/Arrow; no per-row Python — driver input_hint):
                        upsert keyed on id_field, loader.py:610)
  3. docID assignment   scalable two-pass: range-partition by url, per-
                        partition counts → offsets (no global window)
- 4. tokenize+tf        mapInPandas: per-doc Counter → (term, docID, tf, dl)
-                       rows — map-side tf combine, no (term,doc) shuffle
+ 4. tokenize+tf        JVM codegen: explode(split) → partial-agg count per
+                       (term, docID) — map-side tf combine, no per-token
+                       shuffle, no Python (custom analyzers use Arrow)
  5. skew plan          df per term; head terms split into ceil(df/rows_per_run)
                        salted runs (SURVEY.md §4.2.1)
  6. pack               repartition(term, salt) → applyInPandas: sort by docID,
@@ -44,7 +45,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from opensearch_loader_spark import BLOCK_SIZE, BM25_B, BM25_K1
-from opensearch_loader_spark.analysis import TOKEN_RE
 from opensearch_loader_spark.corpus import extract_text_from_html
 
 POSTING_SCHEMA = T.StructType(
@@ -188,22 +188,20 @@ def prepare_docs(
         _aux["_parted"] = parted
     b_offsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType(
-        list(extracted_schema.fields)
-        + [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("doc_len", T.IntegerType()),
-        ]
-    )
-    from opensearch_loader_spark.analysis import tokenize
-
-    analyze = analyzer or tokenize
+    out_fields = list(extracted_schema.fields) + [
+        T.StructField("doc_id", T.LongType())
+    ]
+    if analyzer is not None:
+        out_fields.append(T.StructField("doc_len", T.IntegerType()))
+    out_schema = T.StructType(out_fields)
+    analyze = analyzer
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # iterator is per-partition; rows arrive in sorted order. doc_len is
-        # computed here (map-side, same tokenizer as the postings stage)
-        # rather than derived from postings later — deriving it would cost a
-        # full (term,doc)-row shuffle plus a docs-sized join.
+        # iterator is per-partition; rows arrive in sorted order. With a
+        # custom analyzer, doc_len is computed here (map-side, same tokenizer
+        # as the postings stage); the default analyzer computes it JVM-side
+        # below — deriving it from postings later would cost a full
+        # (term,doc)-row shuffle plus a docs-sized join.
         next_id = None
         for pdf in batches:
             if len(pdf) == 0:
@@ -212,14 +210,21 @@ def prepare_docs(
                 next_id = b_offsets.value[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
             pdf["doc_id"] = np.arange(next_id, next_id + len(pdf), dtype=np.int64)
-            pdf["doc_len"] = np.asarray(
-                [len(analyze(t)) for t in pdf["text"].values],
-                dtype=np.int32,
-            )
+            if analyze is not None:
+                pdf["doc_len"] = np.asarray(
+                    [len(analyze(t)) for t in pdf["text"].values],
+                    dtype=np.int32,
+                )
             next_id += len(pdf)
             yield pdf
 
     assigned = parted.mapInPandas(_assign, schema=out_schema)
+    if analyzer is None:
+        # doc_len from the shared JVM tokenizer expression (codegen, no
+        # Python) — identical count to the Python tokenizer for ASCII text
+        assigned = assigned.withColumn(
+            "doc_len", F.size(_jvm_tokens_col()).cast("int")
+        )
     # restore the real timestamp type at the JVM side
     return assigned.withColumn(
         "warc_ts", F.timestamp_micros(F.col("warc_ts_us"))
@@ -228,19 +233,41 @@ def prepare_docs(
 
 # ------------------------------------------------------------------- stage 4
 
+def _jvm_tokens_col():
+    """The frozen tokenizer contract ([a-z0-9]+ runs of lowercased text,
+    analysis.py) expressed as built-in JVM functions — identical to the
+    Python tokenizer for ASCII input (all corpus text here; non-ASCII chars
+    are separators under both). Whole-stage codegen, no Python worker."""
+    return F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+
+
 def tokenize_postings(docs: DataFrame, analyzer=None) -> DataFrame:
     """docs(doc_id, text, ...) → postings(term, doc_id, tf, dl).
 
-    Per-doc term counting happens inside the Arrow batch (Counter per doc —
-    a map-side combine): the shuffle that follows moves one row per distinct
-    (term, doc) instead of one per token occurrence.
+    Default path is PURE JVM (round 2 — measured 0.59 core-scaling on the
+    Python tokenize stage vs ~0.77 for the JVM stages): explode the
+    codegen'd token array and let Catalyst's hash aggregate do the per-doc
+    term counting MAP-SIDE (partial aggregation) — the shuffle still moves
+    one row per distinct (term, doc), exactly like the round-1 Arrow-batch
+    Counter, with zero Python in the hot path.
 
     analyzer: optional callable(text) -> list[str] replacing the default
-    tokenizer (e.g. analysis.sayt_analyzer for search_as_you_type fields).
+    tokenizer (e.g. analysis.sayt_analyzer for search_as_you_type fields) —
+    runs the vectorized Arrow path.
     """
-    from opensearch_loader_spark.analysis import tokenize
+    if analyzer is None:
+        toks = _jvm_tokens_col()
+        dl = (
+            F.col("doc_len") if "doc_len" in docs.columns else F.size(toks)
+        ).cast("int")
+        base = docs.select(
+            "doc_id", dl.alias("dl"), F.explode(toks).alias("term")
+        )
+        return base.groupBy("term", "doc_id", "dl").agg(
+            F.count("*").cast("int").alias("tf")
+        ).select("term", "doc_id", "tf", "dl")
 
-    analyze = analyzer or tokenize
+    analyze = analyzer
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,15 +297,17 @@ def tokenize_postings(docs: DataFrame, analyzer=None) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(_tok, schema=POSTING_SCHEMA)
 
 
-def doc_lengths(docs_with_text: DataFrame) -> DataFrame:
-    """(doc_id, doc_len) via the same tokenizer (dl = analyzed token count)."""
+def doc_lengths(docs_with_text: DataFrame, analyzer=None) -> DataFrame:
+    """(doc_id, doc_len) via the same tokenizer (dl = analyzed token count).
+    Default tokenizer runs JVM-side (codegen); custom analyzers use Arrow."""
+    if analyzer is None:
+        return docs_with_text.select(
+            "doc_id", F.size(_jvm_tokens_col()).cast("int").alias("doc_len")
+        )
 
     def _dl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        findall = TOKEN_RE.findall
         for pdf in batches:
-            pdf["doc_len"] = [
-                len(findall(t.lower())) if t else 0 for t in pdf["text"].values
-            ]
+            pdf["doc_len"] = [len(analyzer(t)) for t in pdf["text"].values]
             yield pdf[["doc_id", "doc_len"]]
 
     return docs_with_text.select("doc_id", "text").mapInPandas(
