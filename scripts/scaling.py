@@ -43,6 +43,14 @@ corpus = (
     .repartition(cores * 2)
 )
 n = corpus.count()
+
+def _cpu_stat():
+    # /proc/stat first line: user nice system idle iowait irq softirq steal
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:9]]
+    return sum(v), v[7]  # total jiffies, steal jiffies
+
+stat0 = _cpu_stat()
 # index output on tmpfs: the sandbox has ONE vda disk whose bandwidth is
 # core-invariant and would dominate both legs (a real cluster writes to
 # striped local SSDs / object storage whose aggregate bandwidth scales with
@@ -54,9 +62,14 @@ d = tempfile.mkdtemp(
 t0 = time.time()
 m = build_index(spark, corpus, d, n_buckets=max(16, cores), rows_per_run=500_000)
 secs = time.time() - t0
+stat1 = _cpu_stat()
+# hypervisor CPU steal during the build — evidence for the measurement's
+# noise floor (this sandbox throttles sustained multi-core load)
+steal_pct = round(100.0 * (stat1[1] - stat0[1]) / max(1, stat1[0] - stat0[0]), 2)
 shutil.rmtree(d, ignore_errors=True)
 print(json.dumps({"cores": cores, "secs": round(secs, 3), "n_docs": n,
                   "docs_per_sec": round(n / secs, 1),
+                  "steal_pct": steal_pct,
                   "stage_secs": m.get("stage_secs", {})}))
 """
 
@@ -97,9 +110,9 @@ def main() -> None:
     with open(md, "a") as f:
         f.write(
             f"\n## Scaling run (sf_dir={sf_dir}, {lo['n_docs']} docs)\n\n"
-            f"| cores | build secs | docs/sec |\n|---|---|---|\n"
-            f"| {low_cores} | {lo['secs']} | {lo['docs_per_sec']} |\n"
-            f"| {high_cores} | {hi['secs']} | {hi['docs_per_sec']} |\n\n"
+            f"| cores | build secs | docs/sec | host CPU steal |\n|---|---|---|---|\n"
+            f"| {low_cores} | {lo['secs']} | {lo['docs_per_sec']} | {lo.get('steal_pct', '?')}% |\n"
+            f"| {high_cores} | {hi['secs']} | {hi['docs_per_sec']} | {hi.get('steal_pct', '?')}% |\n\n"
             f"Scaling efficiency (T_{low_cores}/T_{high_cores})/{ratio:.0f} "
             f"= **{round(eff, 3)}**\n"
         )
