@@ -470,8 +470,8 @@ def _ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_shingle_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram shingle Jaccard, candidate-bounded (MinHash 1-row bands →
-    exact verify; recall 1-(1-0.8)^16 ≈ 1-6.6e-12). Oracle: the exact
+    """Word-3-gram shingle Jaccard, candidate-bounded (MinHash 2-row bands →
+    exact verify; recall 1-(1-0.8²)^16 ≈ 1-8.3e-8). Oracle: the exact
     quadratic DuckDB formulation (fine at sf0.01) — hash-equality proves the
     bounded plan loses nothing."""
     from opensearch_loader_spark.operators.dedup import ngram_jaccard_pairs

@@ -11,9 +11,10 @@ Stages (all DataFrame/Arrow; no per-row Python — driver input_hint):
                        upsert keyed on id_field, loader.py:610)
  3. docID assignment   scalable two-pass: range-partition by url, per-
                        partition counts → offsets (no global window)
- 4. tokenize+tf        JVM codegen: explode(split) → partial-agg count per
-                       (term, docID) — map-side tf combine, no per-token
-                       shuffle, no Python (custom analyzers use Arrow)
+ 4. tokenize+tf        mapInPandas: per-doc Counter → (term, docID, tf, dl)
+                       rows — map-side tf combine, no (term,doc) shuffle
+                       (measured faster than explode+agg AND hof variants;
+                       see tokenize_postings docstring)
  5. skew plan          df per term; head terms split into ceil(df/rows_per_run)
                        salted runs (SURVEY.md §4.2.1)
  6. pack               repartition(term, salt) → applyInPandas: sort by docID,
@@ -106,8 +107,6 @@ def prepare_docs(
     xxhash64), max_doc_id, _parted (the cached intermediate, unpersist after
     the docs table is materialized).
     """
-    import hashlib
-
     from pyspark.sql.window import Window
 
     spark = corpus.sparkSession
@@ -126,17 +125,23 @@ def prepare_docs(
     # 1. authoritative text: `text` column, else extracted from html.
     #    Byte-identity per url is guaranteed because extract_text_from_html
     #    is a pure function (north rule); we record sha256 for the check.
+    #
+    #    Round-2 plan shape: rows that already carry text never touch Python
+    #    — the html branch is filtered out (text IS NULL pushed to the scan,
+    #    html column pruned from the text branch) and only IT pays the Arrow
+    #    round-trip + Python parse. sha256 is JVM `sha2` (bit-identical to
+    #    hashlib's hexdigest). The round-1 all-rows mapInPandas made the docs
+    #    stage scale at 1.67× from 2→8 cores; this leaves it shuffle-bound.
+    text_cols = ["url", "warc_ts_us", "lang", "text"]
+    with_text = corpus_us.filter(F.col("text").isNotNull()).select(*text_cols)
+    no_text = corpus_us.filter(F.col("text").isNull())
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            need = pdf["text"].isna()
-            if need.any():
-                pdf.loc[need, "text"] = pdf.loc[need, "html"].map(
-                    lambda h: extract_text_from_html(bytes(h))
-                )
-            pdf["text_sha256"] = pdf["text"].map(
-                lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest()
+            pdf["text"] = pdf["html"].map(
+                lambda h: extract_text_from_html(bytes(h)) if h is not None else ""
             )
-            yield pdf[["url", "warc_ts_us", "lang", "text", "text_sha256"]]
+            yield pdf[text_cols]
 
     extracted_schema = T.StructType(
         [
@@ -144,10 +149,11 @@ def prepare_docs(
             T.StructField("warc_ts_us", T.LongType()),
             T.StructField("lang", T.StringType()),
             T.StructField("text", T.StringType()),
-            T.StructField("text_sha256", T.StringType()),
         ]
     )
-    extracted = corpus_us.mapInPandas(_extract, schema=extracted_schema)
+    extracted = with_text.unionByName(
+        no_text.mapInPandas(_extract, schema=extracted_schema)
+    ).withColumn("text_sha256", F.sha2(F.encode(F.col("text"), "utf-8"), 256))
 
     # 2. last-writer-wins dedup on url (upsert semantics of the reference's
     #    bulk_upsert keyed on id_field, opensearch_client.py:199-213)
@@ -189,7 +195,8 @@ def prepare_docs(
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_fields = list(extracted_schema.fields) + [
-        T.StructField("doc_id", T.LongType())
+        T.StructField("text_sha256", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
     ]
     if analyzer is not None:
         out_fields.append(T.StructField("doc_len", T.IntegerType()))
@@ -244,30 +251,23 @@ def _jvm_tokens_col():
 def tokenize_postings(docs: DataFrame, analyzer=None) -> DataFrame:
     """docs(doc_id, text, ...) → postings(term, doc_id, tf, dl).
 
-    Default path is PURE JVM (round 2 — measured 0.59 core-scaling on the
-    Python tokenize stage vs ~0.77 for the JVM stages): explode the
-    codegen'd token array and let Catalyst's hash aggregate do the per-doc
-    term counting MAP-SIDE (partial aggregation) — the shuffle still moves
-    one row per distinct (term, doc), exactly like the round-1 Arrow-batch
-    Counter, with zero Python in the hot path.
+    Per-doc term counting happens inside the Arrow batch (Counter per doc —
+    a map-side combine): the shuffle that follows moves one row per distinct
+    (term, doc) instead of one per token occurrence.
+
+    Why Arrow-Python and not built-ins (measured, 500k docs, 8 cores, this
+    box): Counter-in-batch 2.4s vs explode+partial-agg 6.6s (the agg's
+    near-unique (term,doc) keys defeat map-side combining and add a full
+    shuffle) vs higher-order-function tf 12.1s (O(distinct·dl) comparisons
+    per doc). The UDF IS the map-side combine here — no shuffle precedes
+    packing.
 
     analyzer: optional callable(text) -> list[str] replacing the default
-    tokenizer (e.g. analysis.sayt_analyzer for search_as_you_type fields) —
-    runs the vectorized Arrow path.
+    tokenizer (e.g. analysis.sayt_analyzer for search_as_you_type fields).
     """
-    if analyzer is None:
-        toks = _jvm_tokens_col()
-        dl = (
-            F.col("doc_len") if "doc_len" in docs.columns else F.size(toks)
-        ).cast("int")
-        base = docs.select(
-            "doc_id", dl.alias("dl"), F.explode(toks).alias("term")
-        )
-        return base.groupBy("term", "doc_id", "dl").agg(
-            F.count("*").cast("int").alias("tf")
-        ).select("term", "doc_id", "tf", "dl")
+    from opensearch_loader_spark.analysis import tokenize
 
-    analyze = analyzer
+    analyze = analyzer or tokenize
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

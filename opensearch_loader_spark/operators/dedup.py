@@ -106,21 +106,31 @@ def lsh_candidate_pairs(
     )
 
 
-def _minhash_candidates(sh: DataFrame, n_hashes: int) -> DataFrame:
-    """Candidate pairs = docs sharing ≥1 of n_hashes MinHash values (i.e.
-    n_hashes bands of 1 row). For a threshold-t exact verification this
-    gives recall 1-(1-t)^n_hashes (t=0.8, n=16 → 1-6.6e-12): statistically
-    exact for high-similarity pairs while the join key (band, minhash) is
-    LOW-fanout — the quadratic shingle/token self-join is gone."""
+def _minhash_candidates(
+    sh: DataFrame, n_hashes: int, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate pairs = docs sharing ≥1 MinHash band (n_hashes/rows_per_band
+    bands of rows_per_band hashes). Band width balances the two failure
+    modes: P(candidate | J) = 1-(1-J^r)^b. With r=2, b=16 (n_hashes=32):
+    recall at J≥0.8 is 1-(1-0.64)^16 ≈ 1-8.3e-8 (statistically exact for the
+    driver's hash-equality contract) while baseline-similarity pairs
+    (J≈0.05) collide with only ~4% probability — r=1 bands collided >50% of
+    ALL pairs (measured 148s on the sf0.1 bench), quasi-quadratic again."""
+    n_bands = n_hashes // rows_per_band
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("item")))).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)
     bands = None
-    for i in range(n_hashes):
+    for i in range(n_bands):
+        cols = [
+            F.col(f"sig_{j}")
+            for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+        ]
         b = sigs.select(
-            "doc_id", F.lit(i).alias("band"), F.col(f"sig_{i}").alias("bucket")
+            "doc_id", F.lit(i).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
         )
         bands = b if bands is None else bands.unionByName(b)
     left = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
@@ -167,11 +177,11 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    n_hashes: int = 16,
+    n_hashes: int = 32,
 ) -> DataFrame:
     """Exact n-gram Jaccard for near-dup pairs, candidate-bounded:
-    MinHash(1-row bands) proposes pairs, exact set intersection verifies.
-    Recall for J≥threshold is 1-(1-threshold)^n_hashes (≈1 at 0.8/16)."""
+    MinHash 2-row bands propose pairs, exact set intersection verifies.
+    Recall for J≥t is 1-(1-t^2)^(n_hashes/2) (≈1-8e-8 at t=0.8, n=32)."""
     sh = _shingle_df(docs, text_col, id_col, shingle_n).withColumnRenamed(
         "shingle", "item"
     )
@@ -184,7 +194,7 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    n_hashes: int = 16,
+    n_hashes: int = 32,
 ) -> DataFrame:
     """Exact token-set Jaccard, candidate-bounded the same way (the round-1
     version self-joined on `term` — quadratic for common tokens)."""

@@ -259,3 +259,30 @@ def test_search_as_you_type_bool_prefix(spark, tmp_path):
     res = sayt_search(spark, d, "the data x", k=10**6, phrase=True).collect()
     for r in res:
         assert "the data" in texts[r["doc_id"]].lower()
+
+
+def test_prepare_docs_html_branch_and_sha(spark):
+    """Round-2 JVM-first docs stage: text-present rows skip Python entirely
+    (sha via JVM sha2 == hashlib hexdigest); text-null rows go through the
+    html-extract branch, byte-identical."""
+    import hashlib
+
+    from opensearch_loader_spark.corpus import extract_text_from_html
+    from opensearch_loader_spark.indexer import prepare_docs
+
+    html = "<html><head><title>t</title></head><body><p>from html body</p></body></html>"
+    rows = [
+        ("u://a", "2024-01-01 00:00:00", None, "plain text here", "en"),
+        ("u://b", "2024-01-01 00:00:00", bytearray(html.encode()), None, "en"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, warc_ts_s string, html binary, text string, lang string"
+    ).selectExpr("url", "CAST(warc_ts_s AS TIMESTAMP) AS warc_ts", "html", "text", "lang")
+    docs = {r["url"]: r for r in prepare_docs(corpus).collect()}
+    assert docs["u://a"]["text"] == "plain text here"
+    assert docs["u://b"]["text"] == extract_text_from_html(html.encode())
+    for r in docs.values():
+        assert r["text_sha256"] == hashlib.sha256(r["text"].encode()).hexdigest()
+    assert sorted(r["doc_id"] for r in docs.values()) == [0, 1]
+    # url-ordered dense ids
+    assert docs["u://a"]["doc_id"] < docs["u://b"]["doc_id"]

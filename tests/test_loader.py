@@ -143,10 +143,13 @@ def test_config_precedence_and_test_mode(spark, spec_env):
     assert cfg.page_size == 5  # CLI wins
     assert cfg.test_mode is True  # env wins over yaml
 
-    # test_mode limits UPDATE queries to one page; initial query runs fully
+    # test_mode limits UPDATE queries to one page; initial query runs fully.
+    # page_size=25 (< the 30 update rows): df.limit picks arbitrary rows, but
+    # at most 10 of the 30 have unknown keys, so ≥15 always match and the
+    # delta segment always materializes.
     cfg = Config(
         yaml_values={**spec_env, "selected_indices": ["articles"],
-                     "test_mode": True, "page_size": 5},
+                     "test_mode": True, "page_size": 25},
         env={},
     )
     summary = Loader(spark, cfg).load()
@@ -156,4 +159,25 @@ def test_config_precedence_and_test_mode(spark, spec_env):
         m for m in load_index_info(idx)["segments"]
         if m["segment"] == "seg-update-000000"
     ][0]
-    assert seg["updated"] + seg["skipped"] == 5  # one page only
+    assert seg["updated"] + seg["skipped"] == 25  # one page only
+
+
+def test_load_job_cli(spark, spec_env, capsys):
+    """scripts/load_job.py: CLI flags override spec config; exit 0 on clean
+    run; summary JSON on stdout (reference cli.py analogue)."""
+    import scripts.load_job as job
+
+    rc = job.main(
+        ["--spec", spec_env["index_spec_file"],
+         "--output-dir", spec_env["output_dir"],
+         "--data-dir", spec_env["data_dir"],
+         "--about-file", spec_env["about_file"],
+         "--model-files", spec_env["model_files"][0],
+         "--indices", "articles,about"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    summary = _json.loads(out[out.index("{"):])
+    assert [s["index_name"] for s in summary["index_stats"]] == ["articles", "about"]
