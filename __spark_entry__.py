@@ -493,6 +493,34 @@ def _token_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "jaccard")
 
 
+def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe dedup output (round-3): (doc_id → cluster representative)
+    via LSH candidates + exact-Jaccard verify + connected components — O(docs)
+    output instead of O(pairs). Oracle: recursive-CTE min-fixpoint over the
+    exact quadratic pair set (DEDUP_CLUSTERS_DUCK_SQL); hash-equality proves
+    the candidate-bounded component structure loses nothing."""
+    from opensearch_loader_spark.operators.dedup import dedup_clusters
+    from opensearch_loader_spark.sources.catalog import load_table
+
+    return dedup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round-3): per doc_id, synthesize deterministic
+    pixels → encode as an actual 24-bit padded BMP → decode with the
+    pure-numpy BMP parser → emit (width, height, channel sums) from the
+    DECODED image. The DuckDB oracle recomputes the sums closed-form from
+    the pixel formula — any decoder defect (padding, BGR order, bottom-up
+    flip, header offsets) breaks hash equality."""
+    from opensearch_loader_spark.operators.multimodal import bmp_roundtrip_stats
+    from opensearch_loader_spark.sources.catalog import load_table
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return bmp_roundtrip_stats(ids, width=9, height=5)
+
+
 def _filtered_bmw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search (round-2): BM25 top-k restricted to docs passing a
     stored-field predicate; scores keep corpus-global stats (filter
@@ -589,6 +617,53 @@ cos AS (
 SELECT query_id, neighbor_id, cosine FROM cos WHERE rn <= 10
 """
 
+MULTIMODAL_DECODE_DUCK_SQL = """
+WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+ys AS (SELECT unnest(generate_series(0, 4)) AS y),
+px AS (
+  SELECT d.doc_id AS doc_id, x, y,
+         (d.doc_id * 31 + x * y + 11) % 256 AS r,
+         (d.doc_id * 13 + 3 * x + 5 * y) % 256 AS g,
+         (d.doc_id * 7 + y * 9 + x) % 256 AS b
+  FROM documents d CROSS JOIN xs CROSS JOIN ys
+)
+SELECT doc_id, CAST(9 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+DEDUP_CLUSTERS_DUCK_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, term FROM (SELECT doc_id, unnest(string_split(text, ' '))
+        AS term FROM documents) WHERE term <> ''),
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.a AS doc, r.lbl FROM edges e JOIN reach r ON e.b = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc
+"""
+
 SHINGLE_JACCARD_DUCK_SQL = """
 WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents),
@@ -635,6 +710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 2: candidate-bounded operator replaces the quadratic SQL plan on
     # the Spark side; the DuckDB oracle stays the exact quadratic formulation
     out["token_jaccard_pairs"] = _token_jaccard_query
+    # round 3: O(docs) cluster-representative dedup output (connected
+    # components over the verified near-dup graph)
+    out["dedup_clusters"] = _dedup_clusters_query
+    # round 3: real BMP decode round-trip vs closed-form pixel-sum oracle
+    out["multimodal_decode"] = _multimodal_decode_query
     return out
 
 
@@ -671,4 +751,6 @@ def oracle_sql() -> dict[str, str]:
     out["simhash"] = SIMHASH_DUCK_SQL
     out["ann_lsh_topk"] = ANN_LSH_DUCK_SQL
     out["shingle_jaccard_pairs"] = SHINGLE_JACCARD_DUCK_SQL
+    out["dedup_clusters"] = DEDUP_CLUSTERS_DUCK_SQL
+    out["multimodal_decode"] = MULTIMODAL_DECODE_DUCK_SQL
     return out

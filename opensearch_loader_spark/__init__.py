@@ -28,3 +28,20 @@ __version__ = "0.1.0"
 BM25_K1 = 1.2
 BM25_B = 0.75
 BLOCK_SIZE = 128  # docs per posting block (block-max granularity)
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Write JSON via temp-file + rename so readers never observe a torn
+    manifest (the reference's refresh-after-bulk visibility contract,
+    opensearch_client.py:216,308 + loader.py:643,657: writes become visible
+    in one atomic step). os.replace is atomic on POSIX within a filesystem;
+    on a real deployment this role is played by an Iceberg snapshot commit."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

@@ -137,10 +137,16 @@ def prepare_docs(
     no_text = corpus_us.filter(F.col("text").isNull())
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a row with NEITHER text nor html fails fast (matching the delta
+        # path's _extract_if_null) — silently indexing empty text would turn
+        # bad input rows into invisible empty docs (ADVICE r2)
+        def _one(h):
+            if h is None:
+                raise ValueError("corpus row has neither text nor html")
+            return extract_text_from_html(bytes(h))
+
         for pdf in batches:
-            pdf["text"] = pdf["html"].map(
-                lambda h: extract_text_from_html(bytes(h)) if h is not None else ""
-            )
+            pdf["text"] = pdf["html"].map(_one)
             yield pdf[text_cols]
 
     extracted_schema = T.StructType(
@@ -156,12 +162,28 @@ def prepare_docs(
     ).withColumn("text_sha256", F.sha2(F.encode(F.col("text"), "utf-8"), 256))
 
     # 2. last-writer-wins dedup on url (upsert semantics of the reference's
-    #    bulk_upsert keyed on id_field, opensearch_client.py:199-213)
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts_us"))
+    #    bulk_upsert keyed on id_field, opensearch_client.py:199-213).
+    #    HASH-AGG max(struct) instead of a row_number window (round-3): the
+    #    window plan sorts the full-text rows and buffers each url-group in
+    #    ExternalAppendOnlyUnsafeRowArray — measured falling off a cliff
+    #    (99 s → stuck >10 min on the same 6M-doc input, AQE-coalescing
+    #    dependent). max(struct(ts, ...)) is a hash aggregate with map-side
+    #    partial combine, no sort, no per-group buffers — and its
+    #    lexicographic ordering makes duplicate-timestamp ties DETERMINISTIC
+    #    (the window broke ties arbitrarily).
+    payload = F.struct(
+        F.col("warc_ts_us"), F.col("text"), F.col("lang"), F.col("text_sha256")
+    )
     deduped = (
-        extracted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        extracted.groupBy("url")
+        .agg(F.max(payload).alias("_p"))
+        .select(
+            "url",
+            F.col("_p.warc_ts_us").alias("warc_ts_us"),
+            F.col("_p.lang").alias("lang"),
+            F.col("_p.text").alias("text"),
+            F.col("_p.text_sha256").alias("text_sha256"),
+        )
     )
 
     # 3. scalable dense docID: range partition by url, count per partition,
@@ -242,10 +264,27 @@ def prepare_docs(
 
 def _jvm_tokens_col():
     """The frozen tokenizer contract ([a-z0-9]+ runs of lowercased text,
-    analysis.py) expressed as built-in JVM functions — identical to the
-    Python tokenizer for ASCII input (all corpus text here; non-ASCII chars
-    are separators under both). Whole-stage codegen, no Python worker."""
-    return F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    analysis.py) expressed as built-in JVM functions — whole-stage codegen,
+    no Python worker.
+
+    Locale safety (ADVICE r2): JVM ``lower()`` delegates to
+    ``String.toLowerCase()`` under the default locale, which is NOT a pure
+    function of the input (a Turkish-locale JVM maps 'I'→'ı', breaking the
+    dl/avgdl parity invariant with the Python analyzer). So lowercasing is
+    done with locale-independent primitives instead: ``translate`` for the
+    ASCII uppercase range plus U+212A (KELVIN SIGN → 'k'), and a literal
+    replace of U+0130 ('İ' → 'i' + U+0307, matching Python's str.lower()).
+    An exhaustive scan of all Unicode codepoints shows these are the ONLY
+    two non-ASCII chars whose lowercase form contains [a-z0-9], so this is
+    exactly equivalent to Python ``text.lower()`` for the [a-z0-9]+ token
+    alphabet — every other char is a separator under both paths."""
+    lowered = F.translate(
+        F.col("text"),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZK",
+        "abcdefghijklmnopqrstuvwxyzk",
+    )
+    lowered = F.regexp_replace(lowered, "İ", "i̇")
+    return F.array_remove(F.split(lowered, "[^a-z0-9]+"), "")
 
 
 def tokenize_postings(docs: DataFrame, analyzer=None) -> DataFrame:
@@ -353,41 +392,63 @@ def salt_postings(postings: DataFrame, plan: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------- stage 6
 
-def _make_packer(avgdl: float, block_size: int = BLOCK_SIZE):
+def emit_blocks(
+    term: str,
+    run: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[tuple]:
+    """Encode one docID-sorted posting run into BLOCK_SCHEMA rows: delta-gap
+    + varbyte payloads in blocks of ``block_size`` docs, each with its
+    block-max score bound (idf-free BM25 part maximum). Shared by the build
+    packer and the compaction merger — the ONE place posting bytes are laid
+    out."""
     from opensearch_loader_spark.functions.varbyte import delta_encode, varbyte_encode
 
     k1, b = BM25_K1, BM25_B
+    doc_ids = doc_ids.astype(np.uint64)
+    tfs = tfs.astype(np.uint64)
+    dls = dls.astype(np.uint64)
+    rows = []
+    for blk_i, start in enumerate(range(0, len(doc_ids), block_size)):
+        d = doc_ids[start : start + block_size]
+        t = tfs[start : start + block_size]
+        l = dls[start : start + block_size]
+        tff = t.astype(np.float64)
+        dlf = l.astype(np.float64)
+        part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        rows.append(
+            (
+                term,
+                run,
+                blk_i,
+                int(d[0]),
+                int(d[-1]),
+                len(d),
+                float(part.max()),
+                varbyte_encode(delta_encode(d)),
+                varbyte_encode(t),
+                varbyte_encode(l),
+            )
+        )
+    return rows
 
+
+def _make_packer(avgdl: float, block_size: int = BLOCK_SIZE):
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        run = int(pdf["run"].iloc[0])
-        doc_ids = pdf["doc_id"].values.astype(np.uint64)
-        tfs = pdf["tf"].values.astype(np.uint64)
-        dls = pdf["dl"].values.astype(np.uint64)
-        rows = []
-        n = len(doc_ids)
-        for blk_i, start in enumerate(range(0, n, block_size)):
-            d = doc_ids[start : start + block_size]
-            t = tfs[start : start + block_size]
-            l = dls[start : start + block_size]
-            tff = t.astype(np.float64)
-            dlf = l.astype(np.float64)
-            part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
-            rows.append(
-                (
-                    term,
-                    run,
-                    blk_i,
-                    int(d[0]),
-                    int(d[-1]),
-                    len(d),
-                    float(part.max()),
-                    varbyte_encode(delta_encode(d)),
-                    varbyte_encode(t),
-                    varbyte_encode(l),
-                )
-            )
+        rows = emit_blocks(
+            pdf["term"].iloc[0],
+            int(pdf["run"].iloc[0]),
+            pdf["doc_id"].values,
+            pdf["tf"].values,
+            pdf["dl"].values,
+            avgdl,
+            block_size,
+        )
         return pd.DataFrame(
             rows,
             columns=[f.name for f in BLOCK_SCHEMA.fields],
@@ -477,6 +538,32 @@ def build_index(
     index_dir/segments/<segment>/{docs,postings,term_stats,checkpoints}/ +
     manifest.json; index_dir/MANIFEST.json lists live segments (LSM levels).
     """
+    # job group scopes the _failed_tasks metric and cancellation; reset in a
+    # finally so EVERY exit (incl. the resume early return) clears it and
+    # later jobs on this thread don't inherit the group (ADVICE r2)
+    job_group = f"osls-build-{uuid.uuid4().hex[:8]}"
+    spark.sparkContext.setJobGroup(job_group, f"build {segment}")
+    try:
+        return _build_index_impl(
+            spark, corpus, index_dir, segment, n_buckets, block_size,
+            rows_per_run, resume, analyzer, job_group,
+        )
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    segment: str,
+    n_buckets: int,
+    block_size: int,
+    rows_per_run: int,
+    resume: bool,
+    analyzer,
+    job_group: str,
+) -> dict:
     params = {
         "segment": segment,
         "n_buckets": n_buckets,
@@ -489,10 +576,8 @@ def build_index(
 
     t0 = time.time()
     stage_t: dict[str, float] = {}
-    job_group = f"osls-build-{uuid.uuid4().hex[:8]}"
-    spark.sparkContext.setJobGroup(job_group, f"build {segment}")
     aux: dict = {}
-    docs = prepare_docs(corpus, _aux=aux, analyzer=analyzer).persist()
+    docs = prepare_docs(corpus, _aux=aux, analyzer=analyzer)
     # snapshot id falls out of prepare_docs's own offsets collect — resume
     # re-checks cost one extraction pass, a full build costs zero extra scans
     snapshot_id = _snapshot_id_from_aux(aux, params)
@@ -500,11 +585,9 @@ def build_index(
         with open(manifest_path) as f:
             existing = json.load(f)
         if existing.get("snapshot_id") == snapshot_id and existing.get("complete"):
-            docs.unpersist()
             aux["_parted"].unpersist()
             return existing
 
-    postings = tokenize_postings(docs, analyzer=analyzer).persist()
     docs_out = docs.select(
         "doc_id", "url", "warc_ts", "lang", "doc_len", "text_sha256", "text"
     )
@@ -523,6 +606,17 @@ def build_index(
     aux["_parted"].unpersist()  # docs table materialized; drop upstream cache
     stage_t["docs_write"] = round(time.time() - t0, 3)
 
+    # tokenize from the WRITTEN docs table, not a second in-memory cache of
+    # the full corpus (round-3): the parquet file IS the cache — compressed,
+    # splittable, column-pruned to (doc_id, text) at scan time. At 6M docs
+    # the round-2 docs.persist() built a multi-GB columnar cache that
+    # coexisted with the postings cache inside the driver heap and pushed
+    # the build into storage-eviction thrash (measured: the 6M build ran at
+    # 1/4 the docs/s of the 2M build). One extra parquet scan is the scale-
+    # safe trade on any corpus size.
+    docs_read = spark.read.parquet(os.path.join(seg_dir, "docs"))
+    postings = tokenize_postings(docs_read, analyzer=analyzer).persist()
+
     plan = skew_plan(postings, rows_per_run)
     salted = salt_postings(postings, plan)
     blocks = with_bucket(pack_blocks(salted, avgdl, block_size), n_buckets)
@@ -532,7 +626,7 @@ def build_index(
     # build). MEMORY_AND_DISK: spill, never recompute the pack stage.
     from pyspark import StorageLevel
 
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = blocks_cached = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # resume: skip completed buckets (per-bucket lineage)
     ckpt_dir = os.path.join(seg_dir, "checkpoints")
@@ -555,7 +649,6 @@ def build_index(
     blocks.write.mode("append" if done_buckets else "overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(seg_dir, "postings"))
-    docs.unpersist()
     postings.unpersist()
     stage_t["postings_write"] = round(time.time() - t0, 3)
 
@@ -602,8 +695,9 @@ def build_index(
     lineage.write.mode("overwrite").parquet(ckpt_dir)
     stage_t["lineage_write"] = round(time.time() - t0, 3)
     per_term.unpersist()
-    blocks.unpersist()
-    spark.sparkContext.setJobGroup("", "")
+    # unpersist the PERSISTED handle — on resume-append `blocks` was rebound
+    # to a filtered (un-cached) plan, which would leak the parent (ADVICE r2)
+    blocks_cached.unpersist()
 
     manifest = {
         "segment": segment,
@@ -620,11 +714,14 @@ def build_index(
         "complete": True,
         "build_id": str(uuid.uuid4()),
     }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
+    from opensearch_loader_spark import atomic_write_json
+
+    atomic_write_json(manifest_path, manifest)
     _write_build_log(index_dir, manifest)
 
-    # top-level manifest (live segments, newest last = LSM order)
+    # top-level manifest (live segments, newest last = LSM order); atomic
+    # rename = the visibility flip (a crash before this leaves the previous
+    # index fully readable — crash-injection tested)
     top_path = os.path.join(index_dir, "MANIFEST.json")
     top = {"segments": []}
     if os.path.exists(top_path):
@@ -633,8 +730,7 @@ def build_index(
     if segment not in top["segments"]:
         top["segments"].append(segment)
     top["n_buckets"] = n_buckets
-    with open(top_path, "w") as f:
-        json.dump(top, f, indent=2)
+    atomic_write_json(top_path, top)
     return manifest
 
 

@@ -60,6 +60,8 @@ CONFIG_TYPES: dict[str, type] = {
     "page_size": int,
     "output_dir": str,
     "data_dir": str,
+    "compact": bool,
+    "log_level": str,
 }
 
 
@@ -289,4 +291,14 @@ class Loader:
             self.query_timings[
                 f"{name}:Update Query {qi}"
             ] = round(time.time() - tq, 3)
+
+        # optional post-update compaction (CLI --compact): fold the delta
+        # segments back into one, the LSM merge the reference leaves to
+        # OpenSearch's own segment merging
+        if self.config.get("compact") and index_config.get("update_queries"):
+            from opensearch_loader_spark.operators.merge import compact_segments
+
+            tq = time.time()
+            compact_segments(self.spark, self._index_dir(name))
+            self.query_timings[f"{name}:Compaction"] = round(time.time() - tq, 3)
         return n

@@ -51,15 +51,8 @@ def _make_merger(
     shadow_by_segment: dict[str, "tuple[int, bytes] | None"],
     head_plan: dict[str, tuple[int, int, int]] | None = None,
 ):
-    from opensearch_loader_spark import BM25_B, BM25_K1
-    from opensearch_loader_spark.functions.varbyte import (
-        delta_decode,
-        delta_encode,
-        varbyte_decode,
-        varbyte_encode,
-    )
-
-    k1, b = BM25_K1, BM25_B
+    from opensearch_loader_spark.functions.varbyte import delta_decode, varbyte_decode
+    from opensearch_loader_spark.indexer import emit_blocks
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
@@ -109,22 +102,7 @@ def _make_merger(
         keep[1:] = docs[1:] != docs[:-1]
         docs, tf, dl = docs[keep], tf[keep], dl[keep]
 
-        rows = []
-        for blk_i, start in enumerate(range(0, len(docs), block_size)):
-            d = docs[start : start + block_size].astype(np.uint64)
-            t = tf[start : start + block_size].astype(np.uint64)
-            l = dl[start : start + block_size].astype(np.uint64)
-            tff, dlf = t.astype(np.float64), l.astype(np.float64)
-            part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
-            rows.append(
-                (
-                    term, m_run, blk_i, int(d[0]), int(d[-1]), len(d),
-                    float(part.max()),
-                    varbyte_encode(delta_encode(d)),
-                    varbyte_encode(t),
-                    varbyte_encode(l),
-                )
-            )
+        rows = emit_blocks(term, m_run, docs, tf, dl, avgdl, block_size)
         return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return merge
@@ -175,13 +153,14 @@ def compact_segments(
     all_docs = docs_parts[0]
     for d in docs_parts[1:]:
         all_docs = all_docs.unionByName(d)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_rank"))
+    # newest-wins per doc_id via hash-agg max(struct(_rank, ...)) — same
+    # rationale as the build dedup: no sort, no per-group window buffers on
+    # a corpus-sized table
+    d_cols = [c for c in all_docs.columns if c not in ("doc_id", "_rank")]
     merged_docs = (
-        all_docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_rank")
+        all_docs.groupBy("doc_id")
+        .agg(F.max(F.struct("_rank", *d_cols)).alias("_p"))
+        .select("doc_id", *[F.col(f"_p.{c}").alias(c) for c in d_cols])
     )
 
     stats = merged_docs.agg(
@@ -295,11 +274,15 @@ def compact_segments(
         "complete": True,
         "merged_from": segs,
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+    from opensearch_loader_spark import atomic_write_json
+
+    atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
     # atomic visibility flip (reference analogue: refresh-after-bulk,
-    # loader.py:643,657): queries read the manifest, so updating it last
-    # makes the compaction visible in one step.
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump({"segments": [out_segment], "n_buckets": info["n_buckets"]}, f)
+    # loader.py:643,657): queries read the manifest, so replacing it last —
+    # via temp-file + rename — makes the compaction visible in one step; a
+    # crash anywhere before leaves the pre-compaction index readable.
+    atomic_write_json(
+        os.path.join(index_dir, "MANIFEST.json"),
+        {"segments": [out_segment], "n_buckets": info["n_buckets"]},
+    )
     return manifest

@@ -20,7 +20,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # 48g: the build caches the packed-postings table (MEMORY_AND_DISK)
+        # while writing term_stats/lineage from it; at 6M+ docs a 24g heap
+        # pushed storage vs execution into eviction thrash (measured 4×
+        # throughput loss vs 2M). Local-mode knob — on a real cluster this
+        # is per-executor memory sized to partition volume.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -96,20 +96,24 @@ def build_delta_segment(
     existing = doc_maps[0]
     for d in doc_maps[1:]:
         existing = existing.unionByName(d)
-    w = Window.partitionBy("url").orderBy(F.desc("_r"))
+    # newest-wins per url via hash-agg max(struct) — docIDs are stable per
+    # url across segments, so any row would do; max(_r) keeps it newest.
+    # (A row_number window here sorts the whole docs-sized map — the same
+    # per-group-buffer plan the build dedup measured falling over at 6M+.)
     existing = (
-        existing.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_r")
+        existing.groupBy("url")
+        .agg(F.max(F.struct("_r", "doc_id")).alias("_p"))
+        .select("url", F.col("_p.doc_id").alias("doc_id"))
     )
     max_id = existing.agg(F.max("doc_id")).collect()[0][0] or -1
 
-    # dedup within the batch (last writer by warc_ts), same as build
-    wb = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    # dedup within the batch (last writer by warc_ts), same as build —
+    # hash-agg, deterministic ties (lexicographic struct ordering)
+    b_cols = [c for c in updates.columns if c != "url"]
     batch = (
-        updates.withColumn("_rn", F.row_number().over(wb))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        updates.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", *[c for c in b_cols if c != "warc_ts"])).alias("_p"))
+        .select("url", *[F.col(f"_p.{c}").alias(c) for c in b_cols])
     )
 
     # html→text extraction for rows whose text is NULL (ADVICE round-1: an
@@ -197,6 +201,51 @@ def build_delta_segment(
         os.path.join(seg_dir, "updated_ids")
     )
 
+    # EXACT stats under updates (round-3, VERDICT item 6): a re-indexed doc
+    # still contributes its OLD postings to older segments' term_stats and
+    # its OLD doc_len to their N·avgdl. Record the negatives at delta-build
+    # time — per-term df of the shadowed docs' old postings (df_neg) and the
+    # sum of their old doc_lens (replaced_dl_sum) — so term_dfs/
+    # load_index_info can subtract and idf/avgdl stay oracle-exact BETWEEN
+    # updates and compaction, not just after. Cost: one tokenize pass over
+    # just the re-indexed docs' old text (semi-join on doc_id), not a full
+    # postings scan.
+    replaced_dl_sum = 0.0
+    if updated_count:
+        old_parts = []
+        for i, m in enumerate(info["segments"]):
+            p = os.path.join(index_dir, "segments", m["segment"], "docs")
+            old_parts.append(
+                spark.read.parquet(p)
+                .select("doc_id", "doc_len", "text")
+                .withColumn("_r", F.lit(i))
+            )
+        old_all = old_parts[0]
+        for d in old_parts[1:]:
+            old_all = old_all.unionByName(d)
+        wd = Window.partitionBy("doc_id").orderBy(F.desc("_r"))
+        old_docs = (
+            old_all.join(matched.select("doc_id").distinct(), "doc_id")
+            .withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_r")
+            .persist()
+        )
+        replaced_dl_sum = float(
+            old_docs.agg(F.sum("doc_len")).collect()[0][0] or 0.0
+        )
+        df_neg = (
+            tokenize_postings(old_docs)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df_neg"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+        )
+        df_neg.write.mode("overwrite").parquet(os.path.join(seg_dir, "df_neg"))
+        old_docs.unpersist()
+
     stats = spark.read.parquet(os.path.join(seg_dir, "docs")).agg(
         F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"),
         F.max("doc_id").alias("max_doc_id"),
@@ -235,17 +284,20 @@ def build_delta_segment(
         "updated": updated_count,
         "inserted": 0 if not upsert else new_count,
         "skipped": skipped_count,
+        "replaced_dl_sum": replaced_dl_sum,
         "base": newest,
     }
-    with open(os.path.join(seg_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    # atomic visibility flip = the reference's explicit refresh
+    from opensearch_loader_spark import atomic_write_json
+
+    atomic_write_json(os.path.join(seg_dir, "manifest.json"), manifest)
+    # atomic visibility flip = the reference's explicit refresh: temp-file +
+    # rename, so a crash between the segment write and this flip leaves the
+    # previous index fully readable (crash-injection tested)
     top_path = os.path.join(index_dir, "MANIFEST.json")
     with open(top_path) as f:
         top = json.load(f)
     top["segments"].append(segment)
-    with open(top_path, "w") as f:
-        json.dump(top, f, indent=2)
+    atomic_write_json(top_path, top)
     delta_docs.unpersist()
     return manifest
 

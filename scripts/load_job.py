@@ -26,9 +26,16 @@ from opensearch_loader_spark.session import get_spark  # noqa: E402
 from opensearch_loader_spark.sources.spec import load_index_spec  # noqa: E402
 
 
+DEFAULT_SPECS = ("indices.yaml", "config.yaml")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--spec", required=True, help="index spec YAML")
+    ap.add_argument(
+        "--spec", default=None,
+        help="index spec YAML (default: ./indices.yaml or ./config.yaml, "
+             "the reference's default-config discovery, cli.py:210-214)",
+    )
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--indices", default=None, help="comma-separated subset")
@@ -36,8 +43,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--model-files", default=None, help="comma-separated")
     ap.add_argument("--page-size", type=int, default=None)
     ap.add_argument("--test-mode", action="store_true", default=None)
+    ap.add_argument(
+        "--compact", action="store_true", default=None,
+        help="compact delta segments after update queries",
+    )
+    ap.add_argument(
+        "--log-level", default=None,
+        choices=["DEBUG", "INFO", "WARN", "WARNING", "ERROR"],
+        help="driver log level (reference cli.py log-level flags)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
+
+    spec_path = args.spec
+    if spec_path is None:
+        for cand in DEFAULT_SPECS:
+            if os.path.exists(cand):
+                spec_path = cand
+                break
+        if spec_path is None:
+            ap.error(
+                "--spec not given and no default spec "
+                f"({', '.join(DEFAULT_SPECS)}) found in cwd"
+            )
+    args.spec = spec_path
 
     spec = load_index_spec(args.spec)
     yaml_cfg = dict(spec.get("config", {}))
@@ -48,13 +77,23 @@ def main(argv: list[str] | None = None) -> int:
         "about_file": args.about_file,
         "page_size": args.page_size,
         "test_mode": args.test_mode,
+        "compact": args.compact,
+        "log_level": args.log_level,
         "selected_indices": args.indices.split(",") if args.indices else None,
         "model_files": args.model_files.split(",") if args.model_files else None,
     }
     config = Config(yaml_values=yaml_cfg, cli=cli)
 
+    level = str(config.get("log_level") or "WARN").upper()
+    if level == "WARNING":
+        level = "WARN"
+    import logging
+
+    logging.basicConfig(
+        level=getattr(logging, "WARNING" if level == "WARN" else level)
+    )
     spark = get_spark("osls-load", cores=args.cores)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(level)
     summary = Loader(spark, config).load()
     print(json.dumps(summary, indent=2))
     return 1 if any(s["error"] for s in summary["index_stats"]) else 0

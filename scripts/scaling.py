@@ -1,55 +1,74 @@
 """Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
 
 Sandbox stand-in per driver instruction: run the identical index build at
-local[8] and local[32] on the same sf0.1 input in separate JVMs (fresh
-process each), report docs/sec at both and
-efficiency = (T_8 / T_32) / (32/8).
+two parallelism levels on the same materialized input in separate JVMs
+(fresh process each), report docs/sec at both and
+efficiency = (T_low / T_high) / (high/low).
 
-Run: python scripts/scaling.py  → prints JSON + updates BENCH/BASELINE.md.
+Round-3 methodology upgrades (VERDICT r2 item 1):
+- SCALING_REPEATS defaults to 5; BOTH median-of-N and best-of-N efficiency
+  are reported with every per-leg sample (wall, steal%, stage_secs).
+- A pure-CPU PLATFORM CALIBRATION (multiprocessing sha256 burn, no Spark,
+  no I/O) measures what efficiency the box itself delivers between the same
+  two parallelism levels for the same sustained duration as the legs. The
+  engine cannot scale better than the platform: `eff_normalized =
+  eff_engine / eff_platform` decomposes engine scalability from hypervisor
+  throttling of sustained multi-core load (this VM's documented behavior).
+- /dev/shm usage + available memory sampled around each leg (tmpfs-pressure
+  check at 6M docs).
+
+Run: python scripts/scaling.py  → prints JSON + updates BENCH/BASELINE.md
+and writes BENCH/scaling_latest.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
-import json, os, shutil, sys, tempfile, time
+GEN = r"""
+import json, os, sys
 sys.path.insert(0, __REPO__)
-cores = int(sys.argv[1])
-sf_dir = sys.argv[2]
-copies = int(sys.argv[3])
+sf_dir, copies, src = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 from pyspark.sql import functions as F
 from opensearch_loader_spark.session import get_spark
-from opensearch_loader_spark.indexer import build_index
 from opensearch_loader_spark.sources.catalog import documents_as_corpus
-# shuffle partitions fixed by data size, not cores: a 2-core run with
-# 2 giant shuffle partitions spills; a real cluster sizes partitions to
-# the data and lets excess queue on a small pool
-spark = get_spark("scaling", cores=cores, shuffle_partitions=32)
+spark = get_spark("scaling-gen", cores=8, shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
-# replicate the corpus deterministically so compute dominates fixed job
-# overhead, then MATERIALIZE it to a 32-file parquet table BEFORE the timer:
-# the sf0.1 source is one parquet file, so the explode-replication runs as a
-# single task — a ~30s core-invariant constant that belongs to corpus
-# GENERATION, not the build (a real input table is already distributed).
-# Reading the materialized table gives both legs an identical, splittable
-# input layout.
-src_dir = tempfile.mkdtemp(prefix=f"osls_src_{cores}_",
-                           dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"))
+# replicate the corpus deterministically, MATERIALIZED ONCE to a 32-file
+# parquet table shared by every leg (corpus GENERATION is not part of the
+# measured build; a real input table is already distributed). Both legs
+# read the identical, splittable layout.
 (
     documents_as_corpus(spark, sf_dir)
     .withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
     .withColumn("url", F.concat_ws("#", F.col("url"), F.col("copy")))
     .drop("copy")
     .repartition(32)
-    .write.mode("overwrite").parquet(src_dir + "/corpus")
+    .write.mode("overwrite").parquet(src + "/corpus")
 )
-corpus = spark.read.parquet(src_dir + "/corpus")
+print(json.dumps({"n": spark.read.parquet(src + "/corpus").count()}))
+"""
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, __REPO__)
+cores = int(sys.argv[1])
+src = sys.argv[2]
+from opensearch_loader_spark.session import get_spark
+from opensearch_loader_spark.indexer import build_index
+# shuffle partitions fixed by data size, not cores: a 2-core run with
+# 2 giant shuffle partitions spills; a real cluster sizes partitions to
+# the data and lets excess queue on a small pool
+spark = get_spark("scaling", cores=cores, shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet(src + "/corpus")
 n = corpus.count()
 
 def _cpu_stat():
@@ -58,7 +77,16 @@ def _cpu_stat():
     v = [int(x) for x in f[1:9]]
     return sum(v), v[7]  # total jiffies, steal jiffies
 
+def _mem():
+    m = {}
+    for line in open("/proc/meminfo"):
+        k, v = line.split(":", 1)
+        if k in ("MemAvailable", "Shmem"):
+            m[k] = int(v.strip().split()[0]) // 1024  # MiB
+    return m
+
 stat0 = _cpu_stat()
+mem0 = _mem()
 # index output on tmpfs: the sandbox has ONE vda disk whose bandwidth is
 # core-invariant and would dominate both legs (a real cluster writes to
 # striped local SSDs / object storage whose aggregate bandwidth scales with
@@ -67,35 +95,79 @@ d = tempfile.mkdtemp(
     prefix=f"osls_scale_{cores}_",
     dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"),
 )
+rows_per_run = int(os.environ.get("SCALING_ROWS_PER_RUN", "500000"))
 t0 = time.time()
-m = build_index(spark, corpus, d, n_buckets=max(16, cores), rows_per_run=500_000)
+m = build_index(spark, corpus, d, n_buckets=max(16, cores),
+                rows_per_run=rows_per_run)
 secs = time.time() - t0
 stat1 = _cpu_stat()
+mem1 = _mem()
 # hypervisor CPU steal during the build — evidence for the measurement's
 # noise floor (this sandbox throttles sustained multi-core load)
 steal_pct = round(100.0 * (stat1[1] - stat0[1]) / max(1, stat1[0] - stat0[0]), 2)
 shutil.rmtree(d, ignore_errors=True)
-shutil.rmtree(src_dir, ignore_errors=True)
 print(json.dumps({"cores": cores, "secs": round(secs, 3), "n_docs": n,
                   "docs_per_sec": round(n / secs, 1),
                   "steal_pct": steal_pct,
+                  "mem_avail_mb": [mem0.get("MemAvailable"), mem1.get("MemAvailable")],
+                  "shmem_mb": [mem0.get("Shmem"), mem1.get("Shmem")],
                   "stage_secs": m.get("stage_secs", {})}))
 """
 
 
-def run_at(cores: int, sf_dir: str, copies: int) -> dict:
+def gen_corpus(sf_dir: str, copies: int, src: str) -> int:
+    out = subprocess.run(
+        [sys.executable, "-c", GEN.replace("__REPO__", repr(REPO)),
+         sf_dir, str(copies), src],
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["n"]
+
+
+def run_at(cores: int, src: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO)),
-         str(cores), sf_dir, str(copies)],
+         str(cores), src],
         capture_output=True, text=True, timeout=3600, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _burn(q, secs: float) -> None:
+    import hashlib
+
+    buf = b"x" * (1 << 20)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        hashlib.sha256(buf).digest()
+        n += 1
+    q.put(n)
+
+
+def cpu_calibration(workers: int, seconds: float) -> float:
+    """Pure-CPU throughput (sha256 MB/s) at `workers` processes for a
+    sustained `seconds` — no Spark, no I/O, no Python-thread GIL effects.
+    What this measures is the PLATFORM's sustained-multicore ceiling."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_burn, args=(q, seconds)) for _ in range(workers)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    dt = time.time() - t0
+    return total / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    copies = int(os.environ.get("SCALING_COPIES", "20"))
-    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    copies = int(os.environ.get("SCALING_COPIES", "1200"))
+    repeats = int(os.environ.get("SCALING_REPEATS", "5"))
     # N and 4N parallelism levels. Default 2→8, NOT 8→32: this sandbox VM
     # throttles sustained many-core load (measured CPU steal rising to ~17%
     # under a sustained 32-thread burn, while short bursts scale ~linearly),
@@ -104,41 +176,87 @@ def main() -> None:
     # hypervisor's. Override with SCALING_LOW/SCALING_HIGH.
     low_cores = int(os.environ.get("SCALING_LOW", "2"))
     high_cores = int(os.environ.get("SCALING_HIGH", "8"))
-    # best-of-N per config: identical code measures ±25% run-to-run on this
-    # box (hypervisor + khugepaged/tmpfs churn; steal itself ~1%), so min
-    # wall-clock over several samples is the only robust throughput
-    # estimator. Legs are INTERLEAVED (low, high, low, high, ...) so both
-    # experience the same box phases, with a cool-down between children.
-    import time as _time
-
     cooldown = int(os.environ.get("SCALING_COOLDOWN", "30"))
-    lo_runs, hi_runs = [], []
-    for i in range(repeats):
-        lo_runs.append(run_at(low_cores, sf_dir, copies))
-        _time.sleep(cooldown)
-        hi_runs.append(run_at(high_cores, sf_dir, copies))
-        if i < repeats - 1:
-            _time.sleep(cooldown)
-    lo = min(lo_runs, key=lambda r: r["secs"])
-    hi = min(hi_runs, key=lambda r: r["secs"])
+    calib_secs = float(os.environ.get("SCALING_CALIB_SECS", "180"))
+
+    # corpus materialized ONCE, shared read-only by all legs
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(
+        prefix="osls_scaling_src_",
+        dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"),
+    )
+    try:
+        gen_corpus(sf_dir, copies, src)
+        # Legs are INTERLEAVED (low, high, low, high, ...) so both experience
+        # the same box phases, with a cool-down between children.
+        lo_runs, hi_runs = [], []
+        for i in range(repeats):
+            lo_runs.append(run_at(low_cores, src))
+            time.sleep(cooldown)
+            hi_runs.append(run_at(high_cores, src))
+            if i < repeats - 1:
+                time.sleep(cooldown)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
     ratio = high_cores / low_cores
-    eff = (lo["secs"] / hi["secs"]) / ratio
+    lo_secs = [r["secs"] for r in lo_runs]
+    hi_secs = [r["secs"] for r in hi_runs]
+    med_lo, med_hi = statistics.median(lo_secs), statistics.median(hi_secs)
+    eff_median = (med_lo / med_hi) / ratio
+    lo_best = min(lo_runs, key=lambda r: r["secs"])
+    hi_best = min(hi_runs, key=lambda r: r["secs"])
+    eff_best = (lo_best["secs"] / hi_best["secs"]) / ratio
+
+    # platform ceiling: same sustained duration class as the legs
+    time.sleep(cooldown)
+    cal_lo = cpu_calibration(low_cores, calib_secs)
+    time.sleep(cooldown)
+    cal_hi = cpu_calibration(high_cores, calib_secs)
+    eff_platform = (cal_hi / cal_lo) / ratio
+
     result = {
-        "low": lo, "high": hi, "scaling_efficiency": round(eff, 3),
-        "low_samples": [r["secs"] for r in lo_runs],
-        "high_samples": [r["secs"] for r in hi_runs],
+        "sf_dir": sf_dir, "copies": copies, "repeats": repeats,
+        "n_docs": lo_runs[0]["n_docs"],
+        "low_cores": low_cores, "high_cores": high_cores,
+        "low_samples": lo_runs, "high_samples": hi_runs,
+        "median_low_secs": med_lo, "median_high_secs": med_hi,
+        "scaling_efficiency_median": round(eff_median, 3),
+        "scaling_efficiency_best": round(eff_best, 3),
+        "platform_calibration": {
+            "seconds_per_level": calib_secs,
+            "sha256_mb_per_sec_low": round(cal_lo, 1),
+            "sha256_mb_per_sec_high": round(cal_hi, 1),
+            "platform_efficiency": round(eff_platform, 3),
+        },
+        "scaling_efficiency_platform_normalized": round(
+            eff_median / eff_platform, 3
+        ) if eff_platform else None,
     }
     print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(result, f, indent=2)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "a") as f:
         f.write(
-            f"\n## Scaling run (sf_dir={sf_dir}, {lo['n_docs']} docs)\n\n"
-            f"| cores | build secs | docs/sec | host CPU steal |\n|---|---|---|---|\n"
-            f"| {low_cores} | {lo['secs']} | {lo['docs_per_sec']} | {lo.get('steal_pct', '?')}% |\n"
-            f"| {high_cores} | {hi['secs']} | {hi['docs_per_sec']} | {hi.get('steal_pct', '?')}% |\n\n"
-            f"Scaling efficiency (T_{low_cores}/T_{high_cores})/{ratio:.0f} "
-            f"= **{round(eff, 3)}**\n"
+            f"\n## Scaling run (sf_dir={sf_dir}, {lo_runs[0]['n_docs']} docs, "
+            f"{repeats} repeats)\n\n"
+            f"| cores | build secs (all samples) | median | docs/sec (median) | steal% |\n"
+            f"|---|---|---|---|---|\n"
+            f"| {low_cores} | {lo_secs} | {med_lo} | "
+            f"{round(lo_runs[0]['n_docs']/med_lo,1)} | "
+            f"{[r['steal_pct'] for r in lo_runs]} |\n"
+            f"| {high_cores} | {hi_secs} | {med_hi} | "
+            f"{round(lo_runs[0]['n_docs']/med_hi,1)} | "
+            f"{[r['steal_pct'] for r in hi_runs]} |\n\n"
+            f"Scaling efficiency (T_{low_cores}/T_{high_cores})/{ratio:.0f}: "
+            f"median **{round(eff_median, 3)}**, best {round(eff_best, 3)}; "
+            f"platform ceiling (pure-CPU sha256, {calib_secs:.0f}s/level) "
+            f"{round(eff_platform, 3)} → platform-normalized "
+            f"**{round(eff_median/eff_platform, 3)}**\n"
         )
 
 
