@@ -9,8 +9,9 @@ Stages (all DataFrame/Arrow; no per-row Python — driver input_hint):
                        (text column authoritative when present)
  2. url dedup          last-writer-wins by warc_ts (reference analogue:
                        upsert keyed on id_field, loader.py:610)
- 3. docID assignment   scalable two-pass: range-partition by url, per-
-                       partition counts → offsets (no global window)
+ 3. docID assignment   scalable two-pass: deterministic url-range buckets
+                       (hash-sampled boundaries), per-bucket counts →
+                       offsets (no global window, no corpus cache)
  4. tokenize+tf        mapInPandas: per-doc Counter → (term, docID, tf, dl)
                        rows — map-side tf combine, no (term,doc) shuffle
                        (measured faster than explode+agg AND hof variants;
@@ -97,15 +98,15 @@ def prepare_docs(
     lang, text, text_sha256). Dense deterministic docIDs ordered by url.
 
     Scale notes: docID assignment avoids a global single-partition window by
-    range-partitioning on url and adding per-partition offsets computed from
-    partition counts (tiny collect of one row per partition). Dedup is a
-    window over url — a shuffle on the same key the range partitioning uses.
+    EXPLICIT url-range bucketing (deterministic hash-sampled boundaries →
+    pid) plus per-bucket offsets from a url-pruned count — no sampling-
+    dependent repartitionByRange, therefore no full-corpus persist to pin
+    its boundaries. Dedup is a hash-agg max(struct) keyed on url.
 
-    ``_aux`` (internal): receives side-channel stats from the offsets collect
-    so build_index derives its snapshot fingerprint, N and max docID WITHOUT
-    any extra corpus pass — keys: n_docs, url_hash (decimal-sum of per-url
-    xxhash64), max_doc_id, _parted (the cached intermediate, unpersist after
-    the docs table is materialized).
+    ``_aux`` (internal): receives side-channel stats from the url-pruned
+    sizing passes so build_index derives its snapshot fingerprint, N and max
+    docID without touching the extraction path — keys: n_docs, url_hash
+    (decimal-sum of per-url xxhash64), max_doc_id.
     """
     from pyspark.sql.window import Window
 
@@ -186,21 +187,43 @@ def prepare_docs(
         )
     )
 
-    # 3. scalable dense docID: range partition by url, count per partition,
-    #    broadcast cumulative offsets, number within partition.
-    #    `parted` is persisted because both the count job and the final
-    #    mapInPandas consume it — without this, extraction+dedup run twice.
-    parted = deduped.repartitionByRange(n_part, "url").sortWithinPartitions("url")
-    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
-    # one collect sizes the docID offsets AND fingerprints the input (count +
-    # decimal-sum of url hashes): build_index's snapshot id comes from here,
-    # so no separate full-corpus fingerprint scan is needed.
+    # 3. scalable dense docID ordered by url — deterministic EXPLICIT range
+    #    partitioning, NO full-corpus cache (round 3). The round-1/2 design
+    #    (`repartitionByRange` + persist) needed the persist because range
+    #    boundaries come from sampling: a recompute could reshuffle and
+    #    corrupt the offsets. But persisting the full-text corpus builds an
+    #    InMemoryRelation columnar cache that thread dumps caught burning
+    #    minutes in DictionaryEncoding/CompressibleColumnBuilder on ~1-in-3
+    #    identical 6M-doc runs (BENCH/BASELINE.md round-3 addendum). Instead:
+    #    pid = #(boundaries ≤ url) from a hash-deterministic url sample —
+    #    a pure function of the row, identical on every recompute — so the
+    #    offsets job and the assign+write pass need no shared materialized
+    #    state. All sizing passes read ONLY the url column of the raw corpus
+    #    (never the extraction UDF), so they prune to a ~few-second scan.
+    urls = corpus_us.select("url").distinct()
+    tot = urls.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    url_hash = str(int(tot["h"])) if tot["h"] is not None else "0"
+    # adaptive deterministic sample: ~256 urls per target partition
+    mod = max(1, n_docs // (256 * n_part))
+    sample = sorted(
+        r["url"]
+        for r in urls.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0).collect()
+    )
+    boundaries: list[str] = []
+    if sample and n_part > 1:
+        step = max(1, len(sample) // n_part)
+        boundaries = sorted({sample[i] for i in range(step, len(sample), step)})
+        boundaries = boundaries[: n_part - 1]
+    pid_expr = F.lit(0)
+    for b in boundaries:
+        pid_expr = pid_expr + F.when(F.col("url") >= F.lit(b), 1).otherwise(0)
     count_rows = (
-        parted.groupBy("_pid")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("h"),
-        )
+        urls.groupBy(pid_expr.cast("int").alias("_pid"))
+        .agg(F.count("*").alias("cnt"))
         .collect()
     )
     counts = {r["_pid"]: r["cnt"] for r in count_rows}
@@ -211,10 +234,15 @@ def prepare_docs(
         acc += counts[pid]
     if _aux is not None:
         _aux["n_docs"] = acc
-        _aux["url_hash"] = str(sum(int(r["h"]) for r in count_rows if r["h"] is not None))
+        _aux["url_hash"] = url_hash
         _aux["max_doc_id"] = acc - 1
-        _aux["_parted"] = parted
     b_offsets = spark.sparkContext.broadcast(offsets)
+    # full-payload pass: runs exactly once (consumed only by the docs write)
+    parted = (
+        deduped.withColumn("_pid", pid_expr.cast("int"))
+        .repartition(max(n_part, 1), "_pid")
+        .sortWithinPartitions("_pid", "url")
+    )
 
     out_fields = list(extracted_schema.fields) + [
         T.StructField("text_sha256", T.StringType()),
@@ -226,25 +254,31 @@ def prepare_docs(
     analyze = analyzer
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # iterator is per-partition; rows arrive in sorted order. With a
-        # custom analyzer, doc_len is computed here (map-side, same tokenizer
-        # as the postings stage); the default analyzer computes it JVM-side
-        # below — deriving it from postings later would cost a full
-        # (term,doc)-row shuffle plus a docs-sized join.
-        next_id = None
+        # iterator is per-partition; rows arrive sorted by (_pid, url). A
+        # partition may hold SEVERAL pids (hash-repartitioned on _pid) —
+        # each pid numbers from its own broadcast offset, carried across
+        # batches. With a custom analyzer, doc_len is computed here
+        # (map-side, same tokenizer as the postings stage); the default
+        # analyzer computes it JVM-side below.
+        counters: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if next_id is None:
-                next_id = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pids = pdf["_pid"].values
+            ids = np.empty(len(pdf), dtype=np.int64)
+            for p in np.unique(pids):
+                m = pids == p
+                start = counters.get(int(p), b_offsets.value[int(p)])
+                n = int(m.sum())
+                ids[m] = np.arange(start, start + n, dtype=np.int64)
+                counters[int(p)] = start + n
             pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = np.arange(next_id, next_id + len(pdf), dtype=np.int64)
+            pdf["doc_id"] = ids
             if analyze is not None:
                 pdf["doc_len"] = np.asarray(
                     [len(analyze(t)) for t in pdf["text"].values],
                     dtype=np.int32,
                 )
-            next_id += len(pdf)
             yield pdf
 
     assigned = parted.mapInPandas(_assign, schema=out_schema)
@@ -585,7 +619,6 @@ def _build_index_impl(
         with open(manifest_path) as f:
             existing = json.load(f)
         if existing.get("snapshot_id") == snapshot_id and existing.get("complete"):
-            aux["_parted"].unpersist()
             return existing
 
     docs_out = docs.select(
@@ -603,7 +636,6 @@ def _build_index_impl(
     stats = obs.get
     N = int(stats["N"])
     avgdl = (float(stats["dl_sum"]) / N) if N else 0.0
-    aux["_parted"].unpersist()  # docs table materialized; drop upstream cache
     stage_t["docs_write"] = round(time.time() - t0, 3)
 
     # tokenize from the WRITTEN docs table, not a second in-memory cache of

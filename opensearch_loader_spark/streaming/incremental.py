@@ -131,39 +131,69 @@ def build_delta_segment(
     skipped_count = 0 if upsert else new_count
 
     if upsert and new_count:
-        # assign fresh docIDs above max (per-partition offsets, as in build);
-        # timestamps cross the Arrow boundary as epoch micros (see
-        # indexer.prepare_docs for the anti-scaling rationale)
+        # assign fresh docIDs above max — same deterministic explicit
+        # url-range bucketing as prepare_docs (round 3): pid is a pure
+        # function of url (hash-sampled boundaries), so the counts job and
+        # the assign pass agree without persisting the batch; timestamps
+        # cross the Arrow boundary as epoch micros (see indexer.prepare_docs
+        # for the anti-scaling rationale)
         unmatched_us = unmatched.withColumn(
             "warc_ts_us", F.unix_micros(F.col("warc_ts"))
         ).drop("warc_ts")
-        parted = unmatched_us.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism // 2), "url"
-        ).sortWithinPartitions("url").withColumn("_pid", F.spark_partition_id())
+        n_part = max(1, spark.sparkContext.defaultParallelism // 2)
+        mod = max(1, new_count // (256 * n_part))
+        sample = sorted(
+            r["url"]
+            for r in unmatched_us.select("url")
+            .filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
+            .collect()
+        )
+        boundaries: list[str] = []
+        if sample and n_part > 1:
+            step = max(1, len(sample) // n_part)
+            boundaries = sorted(
+                {sample[i] for i in range(step, len(sample), step)}
+            )[: n_part - 1]
+        pid_expr = F.lit(0)
+        for b in boundaries:
+            pid_expr = pid_expr + F.when(F.col("url") >= F.lit(b), 1).otherwise(0)
         counts = {
             r["_pid"]: r["cnt"]
-            for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+            for r in unmatched_us.select("url")
+            .groupBy(pid_expr.cast("int").alias("_pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
         }
         offsets, acc = {}, max_id + 1
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
         b_off = spark.sparkContext.broadcast(offsets)
+        parted = (
+            unmatched_us.withColumn("_pid", pid_expr.cast("int"))
+            .repartition(n_part, "_pid")
+            .sortWithinPartitions("_pid", "url")
+        )
         schema = T.StructType(
             [f for f in parted.schema.fields if f.name != "_pid"]
             + [T.StructField("doc_id", T.LongType())]
         )
 
         def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            nid = None
+            counters: dict[int, int] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                if nid is None:
-                    nid = b_off.value[int(pdf["_pid"].iloc[0])]
+                pids = pdf["_pid"].values
+                ids = np.empty(len(pdf), dtype=np.int64)
+                for p in np.unique(pids):
+                    m = pids == p
+                    start = counters.get(int(p), b_off.value[int(p)])
+                    n = int(m.sum())
+                    ids[m] = np.arange(start, start + n, dtype=np.int64)
+                    counters[int(p)] = start + n
                 pdf = pdf.drop(columns=["_pid"])
-                pdf["doc_id"] = np.arange(nid, nid + len(pdf), dtype=np.int64)
-                nid += len(pdf)
+                pdf["doc_id"] = ids
                 yield pdf
 
         fresh = (

@@ -190,12 +190,26 @@ def main() -> None:
     try:
         gen_corpus(sf_dir, copies, src)
         # Legs are INTERLEAVED (low, high, low, high, ...) so both experience
-        # the same box phases, with a cool-down between children.
+        # the same box phases, with a cool-down between children. Partial
+        # results flush to disk after every leg so a wall-clock cutoff never
+        # loses completed measurements.
+        partial_path = os.path.join(REPO, "BENCH", "scaling_partial.json")
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+        def _flush(lo, hi):
+            with open(partial_path, "w") as f:
+                json.dump({"low_samples": lo, "high_samples": hi,
+                           "n_docs": lo[0]["n_docs"] if lo else None,
+                           "low_cores": low_cores, "high_cores": high_cores},
+                          f, indent=2)
+
         lo_runs, hi_runs = [], []
         for i in range(repeats):
             lo_runs.append(run_at(low_cores, src))
+            _flush(lo_runs, hi_runs)
             time.sleep(cooldown)
             hi_runs.append(run_at(high_cores, src))
+            _flush(lo_runs, hi_runs)
             if i < repeats - 1:
                 time.sleep(cooldown)
     finally:
