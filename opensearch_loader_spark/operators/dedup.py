@@ -244,6 +244,11 @@ def dedup_clusters(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
+    # materialize the edge list ONCE: it sits on top of the (expensive)
+    # exact-Jaccard verify join, and every CC iteration joins against it —
+    # without this the verify recomputes per round (measured 6×: 784 s vs
+    # ~130 s for the verify itself at sf0.1)
+    edges = edges.localCheckpoint(eager=True)
     labels = docs.select(
         F.col(id_col).alias("doc"), F.col(id_col).cast("long").alias("lbl")
     ).localCheckpoint(eager=False)
