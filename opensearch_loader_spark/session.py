@@ -7,6 +7,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~60% of MemAvailable): the 6M-doc benchmark box wants 48g
+    (packed-postings cache + execution, see below), but a blanket 48g default
+    would push smaller hosts into swap/OOM instead of failing gracefully
+    (ADVICE r3). SPARK_DRIVER_MEM always overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, (avail_gb * 3) // 5))}g"
+    except OSError:
+        pass
+    return "24g"
+
+
 def get_spark(
     app_name: str = "opensearch_loader_spark",
     cores: int | None = None,
@@ -25,7 +41,10 @@ def get_spark(
         # pushed storage vs execution into eviction thrash (measured 4×
         # throughput loss vs 2M). Local-mode knob — on a real cluster this
         # is per-executor memory sized to partition volume.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem(),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

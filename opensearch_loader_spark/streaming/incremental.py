@@ -154,13 +154,14 @@ def build_delta_segment(
             boundaries = sorted(
                 {sample[i] for i in range(step, len(sample), step)}
             )[: n_part - 1]
-        pid_expr = F.lit(0)
-        for b in boundaries:
-            pid_expr = pid_expr + F.when(F.col("url") >= F.lit(b), 1).otherwise(0)
+        from opensearch_loader_spark.indexer import _pid_column
+
+        pid_expr = _pid_column(boundaries)
         counts = {
             r["_pid"]: r["cnt"]
             for r in unmatched_us.select("url")
-            .groupBy(pid_expr.cast("int").alias("_pid"))
+            .withColumn("_pid", pid_expr)
+            .groupBy("_pid")
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
@@ -170,7 +171,7 @@ def build_delta_segment(
             acc += counts[pid]
         b_off = spark.sparkContext.broadcast(offsets)
         parted = (
-            unmatched_us.withColumn("_pid", pid_expr.cast("int"))
+            unmatched_us.withColumn("_pid", pid_expr)
             .repartition(n_part, "_pid")
             .sortWithinPartitions("_pid", "url")
         )
