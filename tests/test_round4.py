@@ -59,3 +59,66 @@ class TestPidColumn:
         # dense, url-ordered
         ordered = sorted(a)
         assert [a[u] for u in ordered] == list(range(len(ordered)))
+
+
+class TestPartialPack:
+    def test_blocks_byte_identical_to_row_shuffle_packer(self, spark, tiny_corpus):
+        """Map-side partial runs merged per (term, run) must produce blocks
+        BYTE-identical to the round-3 row-shuffle pack_blocks, given the
+        same run plan (same docs → same sorted runs → same emit_blocks)."""
+        from opensearch_loader_spark.indexer import (
+            pack_blocks,
+            pack_partial_runs,
+            prepare_docs,
+            salt_postings,
+            skew_plan,
+            tokenize_partial_runs,
+            tokenize_postings,
+        )
+
+        docs = prepare_docs(tiny_corpus).select("doc_id", "text", "doc_len")
+        docs.cache().count()
+        postings = tokenize_postings(docs)
+        plan_df = skew_plan(postings, rows_per_run=40)
+        plan = {r["term"]: r["n_splits"] for r in plan_df.collect()}
+        assert plan, "fixture must exercise head-term splitting"
+        avgdl = 260.0
+
+        old = pack_blocks(salt_postings(postings, plan_df), avgdl, 16)
+        new = pack_partial_runs(
+            tokenize_partial_runs(docs, plan, flush_postings=500), avgdl, 16
+        )
+
+        def snap(df):
+            return {
+                (r["term"], r["run"], r["block_id"]): (
+                    r["first_doc_id"], r["last_doc_id"], r["n_docs"],
+                    r["max_tf_norm"], bytes(r["doc_gaps"]), bytes(r["tfs"]),
+                    bytes(r["dls"]),
+                )
+                for r in df.collect()
+            }
+
+        assert snap(new) == snap(old)
+
+    def test_sampled_plan_matches_exact_at_mod_1(self, spark, tiny_corpus):
+        """At small corpora the sample is exhaustive (mod=1) — sampled
+        n_splits must be ≥ the exact plan's (margin only inflates) and
+        within ceil(margin×) of it."""
+        from opensearch_loader_spark.indexer import (
+            prepare_docs,
+            sampled_skew_plan,
+            skew_plan,
+            tokenize_postings,
+        )
+
+        docs = prepare_docs(tiny_corpus).select("doc_id", "text")
+        exact = {
+            r["term"]: r["n_splits"]
+            for r in skew_plan(tokenize_postings(docs), rows_per_run=40).collect()
+        }
+        sampled = sampled_skew_plan(docs, n_docs=200, rows_per_run=40)
+        for term, n in exact.items():
+            assert term in sampled
+            assert n <= sampled[term] <= -(-int(n * 40 * 1.2) // 40) + 1
+
