@@ -86,7 +86,26 @@ def collect_docid_bitmap(df: DataFrame, lo: int, hi: int, col: str = "doc_id"):
 
 
 def bitmap_contains(docs: np.ndarray, bitmap) -> np.ndarray:
-    """Vectorized membership test against a (lo, bytes) bitmap."""
+    """Vectorized membership test against a (lo, bytes) contiguous bitmap OR
+    a {slice_id: uint8[SLICE_DOCS/8]} slice map (sharded mode). Slice-map
+    probes touch only the slices the docs actually fall in — per-task memory
+    stays O(slices present), never O(docID span): a tail-term block whose
+    128 docs span the whole docID space probes ≤128 slices instead of
+    zero-filling a min-to-max buffer (ADVICE r4)."""
+    if isinstance(bitmap, dict):
+        docs = docs.astype(np.int64)
+        out = np.zeros(len(docs), dtype=bool)
+        sids = docs // SLICE_DOCS
+        for sid in np.unique(sids):
+            buf = bitmap.get(int(sid))
+            if buf is None:
+                continue
+            m = sids == sid
+            off = docs[m] - sid * SLICE_DOCS
+            out[m] = ((buf[off >> 3] >> (off & 7).astype(np.uint8)) & 1).astype(
+                bool
+            )
+        return out
     lo, buf = bitmap
     bm = np.frombuffer(buf, np.uint8)
     idx = docs.astype(np.int64) - lo
@@ -159,6 +178,20 @@ def docid_bitmap_slices(df: DataFrame, col: str = "doc_id") -> DataFrame:
         )
 
     return parts.groupBy("slice_id").applyInPandas(_or, SLICE_SCHEMA)
+
+
+def slice_map(slice_rows) -> "dict[int, np.ndarray] | None":
+    """[(slice_id, bm)] → {slice_id: uint8 array} probed directly by
+    bitmap_contains — NO contiguous min-to-max assembly, so a task whose
+    slices are sparse across a huge docID span holds only the slices it was
+    shipped (ADVICE r4; replaces assemble_slices in the scoring path).
+    Absent slices are 'no bits set', exactly as assemble_slices' zero-fill."""
+    out: dict[int, np.ndarray] = {}
+    for sid, bm in slice_rows:
+        a = np.frombuffer(bytes(bm), np.uint8)
+        prev = out.get(int(sid))
+        out[int(sid)] = a if prev is None else (prev | a)
+    return out or None
 
 
 def assemble_slices(slice_rows) -> "tuple[int, bytes] | None":
@@ -938,22 +971,30 @@ def search(
             "doc_gaps", "tfs", "dls",
             null("long").alias("slice_id"), null("binary").alias("bm"),
         )
+        # slice need per (query, chunk, segment) from the blocks' DECODED
+        # docIDs, not their [first, last] range (ADVICE r4): a sparse block
+        # spanning a huge docID range needs ≤ n_docs slices, but a
+        # range-derived F.sequence would materialize span/SLICE_DOCS
+        # elements — ~10^8 per block row at 10^12 addressable docs. The
+        # extra decode touches only the query terms' blocks.
+        @F.pandas_udf("array<long>")
+        def _doc_slice_ids(
+            gaps: pd.Series, lo: pd.Series, hi: pd.Series
+        ) -> pd.Series:
+            out = []
+            for g, l, h in zip(gaps.values, lo.values, hi.values):
+                d = delta_decode(varbyte_decode(bytes(g))).astype(np.int64)
+                d = d[(d >= l) & (d <= h)]
+                out.append(np.unique(d // SLICE_DOCS))
+            return pd.Series(out)
+
         need = joined.select(
             "query_id", "chunk", "segment",
             F.explode(
-                F.sequence(
-                    F.floor(
-                        F.greatest(
-                            F.col("first_doc_id"),
-                            F.col("chunk").cast("long") * F.col("width"),
-                        ) / F.lit(SLICE_DOCS)
-                    ),
-                    F.floor(
-                        F.least(
-                            F.col("last_doc_id"),
-                            (F.col("chunk").cast("long") + 1) * F.col("width") - 1,
-                        ) / F.lit(SLICE_DOCS)
-                    ),
+                _doc_slice_ids(
+                    F.col("doc_gaps"),
+                    F.col("chunk").cast("long") * F.col("width"),
+                    (F.col("chunk").cast("long") + 1) * F.col("width") - 1,
                 )
             ).alias("slice_id"),
         )
@@ -1027,7 +1068,7 @@ def search(
         if "kind" in pdf.columns:
             kinds = pdf["kind"].values
             a_rows = pdf[kinds == "allowed"]
-            allowed_here = assemble_slices(
+            allowed_here = slice_map(
                 zip(a_rows["slice_id"].values, a_rows["bm"].values)
             )
             if meta["filter_active"] and allowed_here is None:
@@ -1035,7 +1076,7 @@ def search(
             shadow_local = {}
             s_rows = pdf[kinds == "shadow"]
             for seg, grp in s_rows.groupby("segment"):
-                shadow_local[seg] = assemble_slices(
+                shadow_local[seg] = slice_map(
                     zip(grp["slice_id"].values, grp["bm"].values)
                 )
             pdf = pdf[kinds == "block"]

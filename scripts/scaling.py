@@ -145,15 +145,39 @@ def _burn(q, secs: float) -> None:
     q.put(n)
 
 
-def cpu_calibration(workers: int, seconds: float) -> float:
-    """Pure-CPU throughput (sha256 MB/s) at `workers` processes for a
-    sustained `seconds` — no Spark, no I/O, no Python-thread GIL effects.
-    What this measures is the PLATFORM's sustained-multicore ceiling."""
+def _burn_memcpy(q, secs: float) -> None:
+    # 256 MiB source/dest: far beyond L3, so each copy streams DRAM —
+    # unlike the sha256 burn (cache-resident), this calibration SEES memory-
+    # bandwidth saturation across workers (VERDICT r3 item 1: the postings
+    # stage's ~0.49 scaling was hypothesized DRAM-bound; this measures the
+    # platform's actual copy-bandwidth ceiling at both parallelism levels)
+    import numpy as np
+
+    src = np.ones(1 << 25, dtype=np.int64)  # 256 MiB
+    dst = np.empty_like(src)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        np.copyto(dst, src)
+        n += 1
+    q.put(n)
+
+
+def cpu_calibration(workers: int, seconds: float, kind: str = "sha256") -> float:
+    """Pure-CPU throughput at `workers` processes for a sustained `seconds`
+    — no Spark, no I/O, no Python-thread GIL effects.
+
+    kind='sha256': cache-resident compute → the platform's sustained
+    multicore CPU ceiling. kind='memcpy': 256 MiB streaming copies → the
+    platform's aggregate DRAM-bandwidth ceiling (copies/sec × 512 MiB moved
+    each). The ratio of the two efficiencies tells whether an engine stage
+    that fails to scale is CPU-throttled or bandwidth-saturated."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    ps = [ctx.Process(target=_burn, args=(q, seconds)) for _ in range(workers)]
+    fn = _burn_memcpy if kind == "memcpy" else _burn
+    ps = [ctx.Process(target=fn, args=(q, seconds)) for _ in range(workers)]
     t0 = time.time()
     for p in ps:
         p.start()
@@ -230,6 +254,13 @@ def main() -> None:
     time.sleep(cooldown)
     cal_hi = cpu_calibration(high_cores, calib_secs)
     eff_platform = (cal_hi / cal_lo) / ratio
+    # DRAM-bandwidth ceiling (memcpy burn) at both levels — shorter runs are
+    # fine: bandwidth saturation shows within seconds
+    time.sleep(cooldown)
+    mc_lo = cpu_calibration(low_cores, min(calib_secs, 45.0), kind="memcpy")
+    time.sleep(cooldown)
+    mc_hi = cpu_calibration(high_cores, min(calib_secs, 45.0), kind="memcpy")
+    eff_memcpy = (mc_hi / mc_lo) / ratio
 
     result = {
         "sf_dir": sf_dir, "copies": copies, "repeats": repeats,
@@ -244,6 +275,9 @@ def main() -> None:
             "sha256_mb_per_sec_low": round(cal_lo, 1),
             "sha256_mb_per_sec_high": round(cal_hi, 1),
             "platform_efficiency": round(eff_platform, 3),
+            "memcpy_gb_per_sec_low": round(mc_lo * 0.5, 2),
+            "memcpy_gb_per_sec_high": round(mc_hi * 0.5, 2),
+            "memcpy_efficiency": round(eff_memcpy, 3),
         },
         "scaling_efficiency_platform_normalized": round(
             eff_median / eff_platform, 3
@@ -270,7 +304,9 @@ def main() -> None:
             f"median **{round(eff_median, 3)}**, best {round(eff_best, 3)}; "
             f"platform ceiling (pure-CPU sha256, {calib_secs:.0f}s/level) "
             f"{round(eff_platform, 3)} → platform-normalized "
-            f"**{round(eff_median/eff_platform, 3)}**\n"
+            f"**{round(eff_median/eff_platform, 3)}**; DRAM-bandwidth "
+            f"ceiling (memcpy) {round(eff_memcpy, 3)} "
+            f"({round(mc_lo*0.5,1)}→{round(mc_hi*0.5,1)} GiB/s)\n"
         )
 
 

@@ -1,9 +1,16 @@
 """Round-4 regression tests: scale-safe pid assignment, sampled skew plan,
 map-side partial packing, sharded compaction bitmaps (VERDICT r3 items)."""
 
+import datetime as dt
+import os
+import shutil
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+TS = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+CORPUS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
 class TestPidColumn:
@@ -121,4 +128,76 @@ class TestPartialPack:
         for term, n in exact.items():
             assert term in sampled
             assert n <= sampled[term] <= -(-int(n * 40 * 1.2) // 40) + 1
+
+
+class TestShardedCompaction:
+    def test_sharded_compaction_identical_to_collected(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Compaction with sliced shadow bitmaps (forced by a tiny broadcast
+        threshold) must produce byte-identical merged postings to the
+        collected-bitmap path, with no driver-side whole-range bitmap."""
+        from opensearch_loader_spark import query_engine as qe
+        from opensearch_loader_spark.corpus import make_corpus_df
+        from opensearch_loader_spark.indexer import build_index
+        from opensearch_loader_spark.operators.merge import compact_segments
+        from opensearch_loader_spark.query_engine import search
+        from opensearch_loader_spark.streaming.incremental import (
+            build_delta_segment,
+        )
+
+        a = str(tmp_path / "idx_a")
+        corpus = make_corpus_df(spark, n_docs=120, seed=42)
+        build_index(spark, corpus, a, n_buckets=4, block_size=16, rows_per_run=50)
+        docs = spark.read.parquet(os.path.join(a, "segments", "seg-000000", "docs"))
+        victims = [r["url"] for r in docs.orderBy("doc_id").limit(4).collect()]
+        updates = spark.createDataFrame(
+            [
+                (u, TS, None, f"rewritten spark block slice {i}", "en")
+                for i, u in enumerate(victims)
+            ],
+            CORPUS_SCHEMA,
+        )
+        build_delta_segment(spark, a, updates, "seg-000001")
+        b = str(tmp_path / "idx_b")
+        shutil.copytree(a, b)
+
+        compact_segments(spark, a, "seg-merged", block_size=16, rows_per_run=50)
+
+        import opensearch_loader_spark.operators.merge as merge_mod
+
+        monkeypatch.setattr(qe, "BITMAP_BROADCAST_MAX_DOC", 16)
+        calls = []
+        orig = merge_mod.collect_docid_bitmap
+        monkeypatch.setattr(
+            merge_mod,
+            "collect_docid_bitmap",
+            lambda *a_, **k: calls.append(1) or orig(*a_, **k),
+        )
+        compact_segments(spark, b, "seg-merged", block_size=16, rows_per_run=50)
+        assert not calls, "sharded compaction must not collect driver bitmaps"
+
+        def snap(d):
+            rows = spark.read.parquet(
+                os.path.join(d, "segments", "seg-merged", "postings")
+            ).collect()
+            return sorted(
+                (
+                    r["term"], r["run"], r["block_id"], r["first_doc_id"],
+                    r["last_doc_id"], r["n_docs"], r["max_tf_norm"],
+                    bytes(r["doc_gaps"]), bytes(r["tfs"]), bytes(r["dls"]),
+                )
+                for r in rows
+            )
+
+        assert snap(b) == snap(a)
+        qe._READER_CACHE.clear()
+        ra = search(spark, a, [("q", "spark block", 10)]).collect()
+        rb = search(spark, b, [("q", "spark block", 10)]).collect()
+        key = lambda rows: [
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+        ]
+        assert key(sorted(ra, key=lambda r: r["rank"])) == key(
+            sorted(rb, key=lambda r: r["rank"])
+        )
 
