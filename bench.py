@@ -26,6 +26,27 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # load guard (VERDICT r3 item 2: BENCH_r03.json was recorded with a
+    # concurrent pytest run and read ~2× slow across the board, including
+    # untouched pure-SQL queries). If the box is already busy, wait briefly
+    # for it to drain, then stamp the measured load into the artifact so a
+    # contaminated run is self-documenting.
+    load_start = os.getloadavg()[0]
+    waited = 0
+    while load_start > 2.0 and waited < 120:
+        print(
+            f"bench: load average {load_start:.1f} at start — waiting for the "
+            f"box to drain ({waited}s)", file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load_start = os.getloadavg()[0]
+    if load_start > 2.0:
+        print(
+            f"bench: WARNING — proceeding under load {load_start:.1f}; "
+            f"numbers will be contaminated, rerun in isolation", file=sys.stderr,
+        )
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from opensearch_loader_spark.indexer import build_index
@@ -126,6 +147,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "docs_per_sec": docs_per_sec,
                 "cores": cores,
+                "load_avg_start": round(load_start, 2),
             }
         )
     )

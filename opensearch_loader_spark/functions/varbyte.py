@@ -72,6 +72,81 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_segments(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode a CONCATENATION of segments in one vectorized pass.
+
+    Returns (blob, offsets) with len(offsets) == len(seg_starts)+1 such that
+    ``blob[offsets[i]:offsets[i+1]] == varbyte_encode(values[s_i:s_{i+1}])``
+    — valid because varbyte encodes each value independently, so a segment's
+    encoding is exactly the slice of the whole-array encoding at its values'
+    byte offsets. This removes the per-call overhead that dominated when
+    encoding many small segments (measured 133 µs per 128-value
+    varbyte_encode call vs one pass over the full array): block packing and
+    partial-run flushing encode thousands of segments per task.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(len(seg_starts) + 1, dtype=np.int64)
+    groups = np.empty((10, v.size), dtype=np.uint8)
+    rem = v.copy()
+    for g in range(10):
+        groups[g] = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+    ngroups = np.ones(v.size, dtype=np.int64)
+    for g in range(1, 10):
+        ngroups[v >= (np.uint64(1) << np.uint64(7 * g))] = g + 1
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    cum = np.concatenate(([0], np.cumsum(ngroups)))
+    offsets = np.append(cum[seg_starts], total)
+    pos = cum[:-1]
+    for g in range(10):
+        sel = ngroups > g
+        if not sel.any():
+            break
+        idx = pos[sel] + g
+        byte = groups[g, sel]
+        last = ngroups[sel] == (g + 1)
+        byte = byte | (last.astype(np.uint8) << 7)
+        out[idx] = byte
+    return out.tobytes(), offsets
+
+
+def delta_encode_segments(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> np.ndarray:
+    """Segmented delta-gap: per segment, first value absolute, rest gaps —
+    one vectorized pass, equivalent to delta_encode per segment."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    out[seg_starts] = v[seg_starts]
+    return out
+
+
+def delta_decode_segments(gaps: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode_segments given per-segment value counts:
+    global cumsum minus the running total before each segment's start."""
+    g = np.asarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return g
+    n = np.asarray(seg_lengths, dtype=np.int64)
+    cs = np.cumsum(g, dtype=np.uint64)
+    ends = np.cumsum(n)
+    prior = np.concatenate(
+        (np.zeros(1, dtype=np.uint64), cs[ends[:-1] - 1])
+    )
+    seg_of = np.repeat(np.arange(len(n)), n)
+    return cs - prior[seg_of]
+
+
 def varbyte_decode(data: bytes) -> np.ndarray:
     """Vectorized varbyte decode → uint64 array."""
     b = np.frombuffer(data, dtype=np.uint8)

@@ -459,6 +459,7 @@ PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("run", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
         T.StructField("doc_gaps", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
@@ -517,71 +518,95 @@ def tokenize_partial_runs(
     analyzer=None,
     flush_postings: int = 2_000_000,
 ) -> DataFrame:
-    """docs(doc_id, text) → partial posting runs (term, run, doc_gaps, tfs,
-    dls): the map-side combine of the index build.
+    """docs(doc_id, text) → partial posting runs (term, run, n, doc_gaps,
+    tfs, dls): the map-side combine of the index build.
 
     Per Arrow batch everything after the tokenizer call is vectorized numpy
     (no per-posting Python): token strings intern into a per-partition id
-    dict, one lexsort groups (term, doc) occurrences, run-length boundaries
-    yield tfs. Accumulated triples flush as varbyte partials whenever
-    ``flush_postings`` is reached (bounds worker memory at ~32 B/posting),
-    and head terms split into ``doc_id % n_splits`` runs from the sampled
-    plan — identical run semantics to salt_postings."""
+    dict and raw OCCURRENCE arrays accumulate until ``flush_postings``. The
+    flush does one lexsort by (term, run, doc), collapses equal (term, doc)
+    runs into tf counts, then encodes ALL (term, run) segments with ONE
+    segmented delta+varbyte pass per stream — per-term Python work is a
+    list-index plus three blob slices, so the flush stays cheap at web
+    vocabularies (millions of distinct terms). Head terms split into
+    ``doc_id % n_splits`` runs from the sampled plan — identical run
+    semantics to salt_postings."""
     from opensearch_loader_spark.analysis import tokenize
     from opensearch_loader_spark.functions.varbyte import (
-        delta_encode,
-        varbyte_encode,
+        delta_encode_segments,
+        varbyte_encode_segments,
     )
 
     analyze = analyzer or tokenize
     b_plan = docs.sparkSession.sparkContext.broadcast(plan)
-    cols = [f.name for f in PARTIAL_SCHEMA.fields]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         plan_d = b_plan.value
         term_ids: dict[str, int] = {}
         terms_list: list[str] = []
-        bufs: list[tuple] = []  # (term_id, doc_id, tf, dl) arrays per batch
+        bufs: list[tuple] = []  # (term_id, doc_id, dl) OCCURRENCE arrays
         total = 0
 
         def _flush() -> pd.DataFrame:
             nonlocal bufs, total
             tid = np.concatenate([b[0] for b in bufs])
             d = np.concatenate([b[1] for b in bufs])
-            tf = np.concatenate([b[2] for b in bufs])
-            dl = np.concatenate([b[3] for b in bufs])
+            dl = np.concatenate([b[2] for b in bufs])
             bufs, total = [], 0
-            order = np.lexsort((d, tid))
-            tid, d, tf, dl = tid[order], d[order], tf[order], dl[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], tid[1:] != tid[:-1]))
+            nsp = np.ones(len(terms_list), dtype=np.int64)
+            for term, k in plan_d.items():
+                i = term_ids.get(term)
+                if i is not None:
+                    nsp[i] = k
+            runs = d % nsp[tid]
+            order = np.lexsort((d, runs, tid))
+            tid, d, dl, runs = tid[order], d[order], dl[order], runs[order]
+            # collapse occurrences → postings (tf = run length; a doc's
+            # occurrences always share a flush — one row per doc upstream)
+            p_start = np.flatnonzero(
+                np.concatenate(
+                    ([True], (tid[1:] != tid[:-1]) | (d[1:] != d[:-1]))
+                )
             )
-            ends = np.append(starts[1:], len(tid))
-            out = {c: [] for c in cols}
-            for s, e in zip(starts, ends):
-                term = terms_list[tid[s]]
-                td, tt, tl = d[s:e], tf[s:e], dl[s:e]
-                n_splits = plan_d.get(term, 1)
-                if n_splits > 1:
-                    runs = td % n_splits
-                    for r in np.unique(runs):
-                        m = runs == r
-                        out["term"].append(term)
-                        out["run"].append(int(r))
-                        out["doc_gaps"].append(
-                            varbyte_encode(delta_encode(td[m].astype(np.uint64)))
-                        )
-                        out["tfs"].append(varbyte_encode(tt[m].astype(np.uint64)))
-                        out["dls"].append(varbyte_encode(tl[m].astype(np.uint64)))
-                else:
-                    out["term"].append(term)
-                    out["run"].append(0)
-                    out["doc_gaps"].append(
-                        varbyte_encode(delta_encode(td.astype(np.uint64)))
+            ptf = np.diff(np.append(p_start, len(d))).astype(np.uint64)
+            ptid = tid[p_start]
+            pdoc = d[p_start].astype(np.uint64)
+            pdl = dl[p_start].astype(np.uint64)
+            pruns = runs[p_start]
+            # (term, run) segment boundaries over the posting arrays
+            seg = np.flatnonzero(
+                np.concatenate(
+                    (
+                        [True],
+                        (ptid[1:] != ptid[:-1]) | (pruns[1:] != pruns[:-1]),
                     )
-                    out["tfs"].append(varbyte_encode(tt.astype(np.uint64)))
-                    out["dls"].append(varbyte_encode(tl.astype(np.uint64)))
-            return pd.DataFrame(out)
+                )
+            )
+            g_blob, g_off = varbyte_encode_segments(
+                delta_encode_segments(pdoc, seg), seg
+            )
+            t_blob, t_off = varbyte_encode_segments(ptf, seg)
+            l_blob, l_off = varbyte_encode_segments(pdl, seg)
+            n_seg = np.diff(np.append(seg, len(ptid)))
+            return pd.DataFrame(
+                {
+                    "term": [terms_list[t] for t in ptid[seg]],
+                    "run": pruns[seg].astype(np.int32),
+                    "n": n_seg.astype(np.int32),
+                    "doc_gaps": [
+                        g_blob[g_off[i] : g_off[i + 1]]
+                        for i in range(len(seg))
+                    ],
+                    "tfs": [
+                        t_blob[t_off[i] : t_off[i + 1]]
+                        for i in range(len(seg))
+                    ],
+                    "dls": [
+                        l_blob[l_off[i] : l_off[i + 1]]
+                        for i in range(len(seg))
+                    ],
+                }
+            )
 
         for pdf in batches:
             doc_ids = pdf["doc_id"].values.astype(np.int64)
@@ -592,6 +617,7 @@ def tokenize_partial_runs(
             flat = [tok for toks in toks_per_doc for tok in toks]
             if not flat:
                 continue
+
             def _intern(t, _g=term_ids.get, _d=term_ids, _l=terms_list):
                 i = _g(t)
                 if i is None:
@@ -602,17 +628,10 @@ def tokenize_partial_runs(
             ids = np.fromiter(
                 (_intern(t) for t in flat), dtype=np.int64, count=len(flat)
             )
-            di = np.repeat(doc_ids, lens)
-            dlo = np.repeat(lens, lens)
-            o = np.lexsort((di, ids))
-            si, sd, sl = ids[o], di[o], dlo[o]
-            change = np.concatenate(
-                ([True], (si[1:] != si[:-1]) | (sd[1:] != sd[:-1]))
+            bufs.append(
+                (ids, np.repeat(doc_ids, lens), np.repeat(lens, lens))
             )
-            starts = np.flatnonzero(change)
-            tf = np.diff(np.append(starts, len(si)))
-            bufs.append((si[starts], sd[starts], tf, sl[starts]))
-            total += len(starts)
+            total += len(flat)
             if total >= flush_postings:
                 yield _flush()
         if total:
@@ -623,23 +642,27 @@ def tokenize_partial_runs(
 
 def _make_partial_merger(avgdl: float, block_size: int = BLOCK_SIZE):
     from opensearch_loader_spark.functions.varbyte import (
-        delta_decode,
+        delta_decode_segments,
         varbyte_decode,
     )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         run = int(pdf["run"].iloc[0])
-        ds, ts, ls = [], [], []
-        for row in pdf.itertuples(index=False):
-            ds.append(
-                delta_decode(varbyte_decode(bytes(row.doc_gaps))).astype(np.int64)
-            )
-            ts.append(varbyte_decode(bytes(row.tfs)).astype(np.int64))
-            ls.append(varbyte_decode(bytes(row.dls)).astype(np.int64))
-        d = np.concatenate(ds)
-        t = np.concatenate(ts)
-        l = np.concatenate(ls)
+        # segmented decode: varbyte is self-delimiting, so ONE decode of the
+        # concatenated blobs replaces per-row decode calls; the stored per-
+        # partial posting counts (`n`) drive the segmented delta reverse.
+        nvals = pdf["n"].values.astype(np.int64)
+        gaps = varbyte_decode(
+            b"".join(bytes(x) for x in pdf["doc_gaps"].values)
+        )
+        d = delta_decode_segments(gaps, nvals).astype(np.int64)
+        t = varbyte_decode(
+            b"".join(bytes(x) for x in pdf["tfs"].values)
+        ).astype(np.int64)
+        l = varbyte_decode(
+            b"".join(bytes(x) for x in pdf["dls"].values)
+        ).astype(np.int64)
         # partials are disjoint sorted docID sets ((term, doc) unique across
         # the deduped corpus) — one argsort restores the global order
         order = np.argsort(d, kind="stable")
@@ -715,33 +738,54 @@ def emit_blocks(
     + varbyte payloads in blocks of ``block_size`` docs, each with its
     block-max score bound (idf-free BM25 part maximum). Shared by the build
     packer and the compaction merger — the ONE place posting bytes are laid
-    out."""
-    from opensearch_loader_spark.functions.varbyte import delta_encode, varbyte_encode
+    out.
+
+    Vectorized ACROSS blocks (round 4): one segmented delta + one varbyte
+    pass per stream instead of three varbyte_encode calls per 128-value
+    block (each call carried ~133 µs of fixed overhead — at 435k postings
+    per head-term run that was ~1.3 s/run of pure call overhead, ~20× the
+    vectorized cost). Output bytes are identical: varbyte encodes values
+    independently, so per-block slices of the whole-run encoding equal
+    per-block encodings."""
+    from opensearch_loader_spark.functions.varbyte import (
+        delta_encode_segments,
+        varbyte_encode_segments,
+    )
 
     k1, b = BM25_K1, BM25_B
-    doc_ids = doc_ids.astype(np.uint64)
-    tfs = tfs.astype(np.uint64)
-    dls = dls.astype(np.uint64)
+    d = doc_ids.astype(np.uint64)
+    t = tfs.astype(np.uint64)
+    l = dls.astype(np.uint64)
+    n = len(d)
+    if n == 0:
+        return []
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    tff = t.astype(np.float64)
+    dlf = l.astype(np.float64)
+    part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+    maxs = np.maximum.reduceat(part, starts)
+    g_blob, g_off = varbyte_encode_segments(
+        delta_encode_segments(d, starts), starts
+    )
+    t_blob, t_off = varbyte_encode_segments(t, starts)
+    l_blob, l_off = varbyte_encode_segments(l, starts)
+    firsts = d[starts]
+    lasts = d[ends - 1]
     rows = []
-    for blk_i, start in enumerate(range(0, len(doc_ids), block_size)):
-        d = doc_ids[start : start + block_size]
-        t = tfs[start : start + block_size]
-        l = dls[start : start + block_size]
-        tff = t.astype(np.float64)
-        dlf = l.astype(np.float64)
-        part = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+    for i in range(len(starts)):
         rows.append(
             (
                 term,
                 run,
-                blk_i,
-                int(d[0]),
-                int(d[-1]),
-                len(d),
-                float(part.max()),
-                varbyte_encode(delta_encode(d)),
-                varbyte_encode(t),
-                varbyte_encode(l),
+                i,
+                int(firsts[i]),
+                int(lasts[i]),
+                int(ends[i] - starts[i]),
+                float(maxs[i]),
+                g_blob[g_off[i] : g_off[i + 1]],
+                t_blob[t_off[i] : t_off[i + 1]],
+                l_blob[l_off[i] : l_off[i + 1]],
             )
         )
     return rows

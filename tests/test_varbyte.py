@@ -60,3 +60,35 @@ def test_compression_actually_compresses():
     docs = np.arange(0, 100_000, 3, dtype=np.uint64)
     enc = varbyte_encode(delta_encode(docs))
     assert len(enc) < docs.size * 2  # gaps of 3 → 1 byte each (+first)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=300, unique=True
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_segmented_codecs_equal_per_segment(vals, n_segs):
+    """varbyte_encode_segments / delta_encode_segments / delta_decode_segments
+    must be exactly equivalent to the per-segment scalar calls — byte
+    identity of every segment slice, value identity after decode."""
+    from opensearch_loader_spark.functions.varbyte import (
+        delta_decode_segments,
+        delta_encode_segments,
+        varbyte_encode_segments,
+    )
+
+    docs = np.array(sorted(vals), dtype=np.uint64)
+    cuts = sorted({0} | {int(x) for x in
+                   np.linspace(0, len(docs), n_segs, endpoint=False).astype(int)})
+    starts = np.array(cuts, dtype=np.int64)
+    ends = np.append(starts[1:], len(docs))
+    gaps = delta_encode_segments(docs, starts)
+    blob, off = varbyte_encode_segments(gaps, starts)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        want = varbyte_encode(delta_encode(docs[s:e]))
+        assert blob[off[i]:off[i + 1]] == want
+    lens = (ends - starts).astype(np.int64)
+    back = delta_decode_segments(varbyte_decode(blob), lens)
+    assert np.array_equal(back, docs)
