@@ -142,7 +142,17 @@ def prepare_docs(
     from pyspark.sql.window import Window
 
     spark = corpus.sparkSession
-    n_part = id_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    # partition count sized by DATA, not core count (floor 32 — same
+    # rationale as pack_blocks): a 2-core run with 2 url-range buckets makes
+    # the docs write a pair of multi-million-doc straggler tasks (observed:
+    # one task grinding the JVM doc_len tokenizer over 3M docs for 9+ min in
+    # a 6M-doc 2-core scaling leg) AND leaves the written docs parquet in 2
+    # fat files that starve the postings stage's read parallelism. Excess
+    # partitions just queue on a small pool, exactly as on a real cluster;
+    # docIDs are invariant to the bucket count (tested).
+    n_part = id_partitions or max(
+        32, corpus.sparkSession.sparkContext.defaultParallelism
+    )
 
     # Timestamps are shipped through the Arrow/pandas boundary as epoch
     # micros (int64): Spark's session-timezone localization of TimestampType

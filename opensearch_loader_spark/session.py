@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # file-scan parallelism sized by DATA, not cores: Spark plans file
+        # splits as totalBytes/defaultParallelism when files are small, so a
+        # 2-core job reading a compact (highly-compressed) table gets 2 fat
+        # splits — the index build's tokenize stage then runs as 2 huge
+        # Python tasks regardless of the table's 32-file layout (measured
+        # 2.3× slower than 32 small splits on the same data). Floor the
+        # split count like shuffle partitions: excess splits just queue.
+        .config("spark.sql.files.minPartitionNum", str(max(32, cores)))
         # 48g: the build caches the packed-postings table (MEMORY_AND_DISK)
         # while writing term_stats/lineage from it; at 6M+ docs a 24g heap
         # pushed storage vs execution into eviction thrash (measured 4×
