@@ -335,7 +335,7 @@ def prepare_docs(
         # doc_len from the shared JVM tokenizer expression (codegen, no
         # Python) — identical count to the Python tokenizer for ASCII text
         assigned = assigned.withColumn(
-            "doc_len", F.size(_jvm_tokens_col()).cast("int")
+            "doc_len", _jvm_token_count_col().cast("int")
         )
     # restore the real timestamp type at the JVM side
     return assigned.withColumn(
@@ -368,6 +368,23 @@ def _jvm_tokens_col():
     )
     lowered = F.regexp_replace(lowered, "İ", "i̇")
     return F.array_remove(F.split(lowered, "[^a-z0-9]+"), "")
+
+
+def _jvm_token_count_col():
+    """Token COUNT via ``regexp_count`` on the same locale-safe lowering —
+    no per-doc token-string array is materialized just to take its size.
+    The array path's allocation churn was caught anti-scaling the docs
+    write stage at 8 threads (jstack: write tasks inside UTF8String.split);
+    count of [a-z0-9]+ runs ≡ size(array_remove(split(lowered,
+    '[^a-z0-9]+'), '')) — verified mismatch-free on the synthetic corpus
+    plus unicode edge cases (İ/KELVIN/ß/ŉ, empty, whitespace-only)."""
+    lowered = F.translate(
+        F.col("text"),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZK",
+        "abcdefghijklmnopqrstuvwxyzk",
+    )
+    lowered = F.regexp_replace(lowered, "İ", "i̇")
+    return F.regexp_count(lowered, F.lit("[a-z0-9]+"))
 
 
 def tokenize_postings(docs: DataFrame, analyzer=None) -> DataFrame:
@@ -424,7 +441,7 @@ def doc_lengths(docs_with_text: DataFrame, analyzer=None) -> DataFrame:
     Default tokenizer runs JVM-side (codegen); custom analyzers use Arrow."""
     if analyzer is None:
         return docs_with_text.select(
-            "doc_id", F.size(_jvm_tokens_col()).cast("int").alias("doc_len")
+            "doc_id", _jvm_token_count_col().cast("int").alias("doc_len")
         )
 
     def _dl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
