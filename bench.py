@@ -48,6 +48,20 @@ def main() -> None:
         )
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # bandwidth trough gate (VERDICT r4 item 2): the load guard alone passed
+    # at 0.72 while the box sat in a 0.01 GiB/s DRAM-bandwidth trough and
+    # the identical suite read 142.7s vs 61.3s minutes apart. Gate on a
+    # short memcpy probe ≥10 GiB/s before the run and re-probe after; the
+    # bracketing pair is stamped into the artifact — if they disagree >2×,
+    # the window flipped mid-run and the numbers are suspect.
+    from opensearch_loader_spark.platform_gate import (
+        memcpy_probe,
+        wait_for_clean_window,
+    )
+
+    gate_gbps = float(os.environ.get("BENCH_GATE_GBPS", "10"))
+    probe_pre = wait_for_clean_window(min_gbps=gate_gbps, label="bench")
     import __spark_entry__ as entrymod
     from opensearch_loader_spark.indexer import build_index
     from opensearch_loader_spark.query_engine import search
@@ -117,6 +131,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_suite, 3)
+    # post-probe HERE: the bracketing pair covers exactly the headline
+    # region (`value`); the excluded oracle-check queries below run outside
+    # the bracket and can't dirty it
+    probe_post = memcpy_probe()
 
     # token_jaccard_pairs / dedup_clusters are EXACT-VERIFY-bound on this
     # deliberately dup-heavy corpus: the verification join's work is
@@ -135,6 +153,11 @@ def main() -> None:
         extra[name] = round(time.time() - t0, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    window_dirty = (
+        probe_pre < gate_gbps
+        or probe_post < gate_gbps
+        or max(probe_pre, probe_post) > 2 * min(probe_pre, probe_post)
+    )
     print(
         json.dumps(
             {
@@ -148,6 +171,9 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cores": cores,
                 "load_avg_start": round(load_start, 2),
+                "memcpy_gbps_pre": round(probe_pre, 2),
+                "memcpy_gbps_post": round(probe_post, 2),
+                "window_dirty": window_dirty,
             }
         )
     )

@@ -133,16 +133,21 @@ def delta_encode_segments(
 
 def delta_decode_segments(gaps: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
     """Inverse of delta_encode_segments given per-segment value counts:
-    global cumsum minus the running total before each segment's start."""
+    global cumsum minus the running total before each segment's start.
+
+    Tolerates zero-length segments (ADVICE r4): prior-per-segment indexes a
+    zero-padded cumsum at each segment's START offset, so an empty segment
+    contributes nothing and never corrupts its successor's prior (the old
+    ``cs[ends[:-1] - 1]`` read ``cs[-1]`` — the grand total — when a
+    previous end was 0)."""
     g = np.asarray(gaps, dtype=np.uint64)
     if g.size == 0:
         return g
     n = np.asarray(seg_lengths, dtype=np.int64)
     cs = np.cumsum(g, dtype=np.uint64)
+    padded = np.concatenate((np.zeros(1, dtype=np.uint64), cs))
     ends = np.cumsum(n)
-    prior = np.concatenate(
-        (np.zeros(1, dtype=np.uint64), cs[ends[:-1] - 1])
-    )
+    prior = padded[ends - n]  # cumsum value just before each segment start
     seg_of = np.repeat(np.arange(len(n)), n)
     return cs - prior[seg_of]
 

@@ -96,7 +96,9 @@ def _pid_column(boundaries: list[str]):
     blows past the JVM codegen method-size limit and falls back to
     interpreted eval per row (VERDICT r3 item 4) — so large boundary lists
     switch to a vectorized ``np.searchsorted`` (side='right' ⇒ count of
-    boundaries ≤ url) over the broadcast-captured list inside a pandas UDF:
+    boundaries ≤ url) over a CLOSURE-CAPTURED sorted array inside a pandas
+    UDF (pickled once with the serialized UDF — fine at ~n_part strings; a
+    sparkContext.broadcast would only matter for multi-GB lists):
     O(log n_part) per row, flat expression depth, identical pids.
     Orderings agree byte-for-byte: Spark compares UTF8String bytes and
     UTF-8 byte order preserves code-point order, which is exactly numpy's
@@ -107,16 +109,28 @@ def _pid_column(boundaries: list[str]):
         for b in boundaries:
             pid_expr = pid_expr + F.when(F.col("url") >= F.lit(b), 1).otherwise(0)
         return pid_expr.cast("int")
-    blist = list(boundaries)
+    barr = np.asarray(list(boundaries))  # hoisted: built once, not per batch
 
     @F.pandas_udf("int")
     def _pid(urls: pd.Series) -> pd.Series:
-        barr = np.asarray(blist)
         return pd.Series(
             np.searchsorted(barr, urls.to_numpy(), side="right").astype(np.int32)
         )
 
     return _pid(F.col("url"))
+
+
+def boundaries_from_sample(sample: list[str], n_part: int) -> list[str]:
+    """Pick ≤ n_part-1 url-range boundaries from a sorted deterministic url
+    sample (every step-th element, deduped, capped). Shared by prepare_docs
+    and the delta path's fresh-docID assignment (VERDICT r4 item 6 — the
+    logic was duplicated)."""
+    if not sample or n_part <= 1:
+        return []
+    step = max(1, len(sample) // n_part)
+    return sorted({sample[i] for i in range(step, len(sample), step)})[
+        : n_part - 1
+    ]
 
 
 def prepare_docs(
@@ -263,11 +277,7 @@ def prepare_docs(
     n_docs = int(tot["n"])
     url_hash = str(int(tot["h"])) if tot["h"] is not None else "0"
     sample = sorted(tot["sample"])
-    boundaries: list[str] = []
-    if sample and n_part > 1:
-        step = max(1, len(sample) // n_part)
-        boundaries = sorted({sample[i] for i in range(step, len(sample), step)})
-        boundaries = boundaries[: n_part - 1]
+    boundaries = boundaries_from_sample(sample, n_part)
     pid_expr = _pid_column(boundaries)
     count_rows = (
         urls.withColumn("_pid", pid_expr)
@@ -644,6 +654,15 @@ def tokenize_partial_runs(
             flat = [tok for toks in toks_per_doc for tok in toks]
             if not flat:
                 continue
+            # interning via np.unique (VERDICT r4 item 5 — the generator
+            # version ran a Python dict get per OCCURRENCE): one vectorized
+            # unique over the batch's occurrence array, then a dict lookup
+            # only per DISTINCT term in the batch (mirrors simhash64's
+            # round-4 batch-dictionary pattern). gid maps batch-local
+            # unique index → persistent cross-flush term id.
+            uniq, inv = np.unique(
+                np.asarray(flat, dtype=object), return_inverse=True
+            )
 
             def _intern(t, _g=term_ids.get, _d=term_ids, _l=terms_list):
                 i = _g(t)
@@ -652,9 +671,10 @@ def tokenize_partial_runs(
                     _l.append(t)
                 return i
 
-            ids = np.fromiter(
-                (_intern(t) for t in flat), dtype=np.int64, count=len(flat)
+            gid = np.fromiter(
+                (_intern(t) for t in uniq), dtype=np.int64, count=len(uniq)
             )
+            ids = gid[inv]
             bufs.append(
                 (ids, np.repeat(doc_ids, lens), np.repeat(lens, lens))
             )
@@ -1064,9 +1084,15 @@ def _build_index_impl(
         if done_buckets
         else blocks
     )
-    per_term = (
+    # two-level agg: (term, run) first so undersampled skew plans are
+    # OBSERVABLE (ADVICE r4 — sampled_skew_plan is a soft sizing bound; a
+    # head term correlated with the docID sample can leave one run far
+    # over rows_per_run, a straggler/OOM risk at scale, not a correctness
+    # issue). The re-agg to (bucket, term) is over the already-tiny run
+    # table, so the guard costs one narrow stage on cached blocks.
+    per_run = (
         stats_src
-        .groupBy("bucket", "term")
+        .groupBy("bucket", "term", "run")
         .agg(
             F.sum("n_docs").cast("long").alias("df"),
             (
@@ -1074,6 +1100,18 @@ def _build_index_impl(
                 + F.sum(F.length("tfs"))
                 + F.sum(F.length("dls"))
             ).cast("long").alias("bytes"),
+        )
+        .persist()
+    )
+    overrun = per_run.agg(
+        F.max("df").alias("max_run"),
+        F.sum((F.col("df") > 4 * rows_per_run).cast("long")).alias("n_over"),
+    ).collect()[0]
+    per_term = (
+        per_run.groupBy("bucket", "term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("bytes").cast("long").alias("bytes"),
         )
         .persist()
     )
@@ -1101,6 +1139,7 @@ def _build_index_impl(
     stage_t["lineage_write"] = round(time.time() - t0, 3)
     stage_cpu["lineage_write"] = round(_host_cpu_secs() - c0, 3)
     per_term.unpersist()
+    per_run.unpersist()
     # unpersist the PERSISTED handle — on resume-append `blocks` was rebound
     # to a filtered (un-cached) plan, which would leak the parent (ADVICE r2)
     blocks_cached.unpersist()
@@ -1118,6 +1157,11 @@ def _build_index_impl(
         "stage_secs": stage_t,
         "stage_cpu_secs": stage_cpu,
         "failed_tasks": _failed_tasks(spark, job_group),
+        # skew-plan observability (ADVICE r4): biggest (term, run) posting
+        # count vs rows_per_run, and how many runs blew past 4× the target —
+        # a nonzero n_over means the sampled plan undersized a head term
+        "max_run_postings": int(overrun["max_run"] or 0),
+        "runs_over_4x_target": int(overrun["n_over"] or 0),
         "complete": True,
         "build_id": str(uuid.uuid4()),
     }

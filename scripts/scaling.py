@@ -17,6 +17,14 @@ Round-3 methodology upgrades (VERDICT r2 item 1):
 - /dev/shm usage + available memory sampled around each leg (tmpfs-pressure
   check at 6M docs).
 
+Round-5 upgrade (VERDICT r4 item 1 — the single open red item): per-leg
+TROUGH GATING. The VM's DRAM bandwidth oscillates ~1000× on a tens-of-
+seconds timescale at zero load/steal (judge-verified), so each leg now runs
+inside a verified-clean window: an ~8 s memcpy probe must read ≥10 GiB/s
+immediately before the leg, the leg is re-probed after, and a leg whose
+bracketing probes disagree >2× (it straddled a throttle phase) is DISCARDED
+and retried. Both probes are stamped into every kept and discarded leg.
+
 Run: python scripts/scaling.py  → prints JSON + updates BENCH/BASELINE.md
 and writes BENCH/scaling_latest.json.
 """
@@ -133,6 +141,55 @@ def run_at(cores: int, src: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_leg_gated(
+    cores: int,
+    src: str,
+    min_gbps: float,
+    max_retries: int = 3,
+    discarded: list | None = None,
+) -> dict:
+    """Run one leg inside a verified-clean bandwidth window (VERDICT r4
+    item 1): probe ≥ min_gbps immediately before the leg, re-probe after,
+    and DISCARD+retry the leg if the bracketing probes disagree by >2× or
+    the post-probe is below the gate — a leg that straddles a trough
+    integrates random throttle phases and poisons the median. Every
+    discarded attempt is kept (with its probes) as evidence."""
+    sys.path.insert(0, REPO)
+    from opensearch_loader_spark.platform_gate import (
+        memcpy_probe,
+        wait_for_clean_window,
+    )
+
+    last = None
+    for attempt in range(max_retries + 1):
+        pre = wait_for_clean_window(
+            min_gbps=min_gbps, label=f"scaling-leg-{cores}c"
+        )
+        res = run_at(cores, src)
+        post = memcpy_probe()
+        res["memcpy_gbps_pre"] = round(pre, 2)
+        res["memcpy_gbps_post"] = round(post, 2)
+        clean = (
+            pre >= min_gbps
+            and post >= min_gbps
+            and max(pre, post) <= 2 * min(pre, post)
+        )
+        res["gated_clean"] = clean
+        res["attempt"] = attempt
+        if clean:
+            return res
+        print(
+            f"scaling: leg {cores}c attempt {attempt} DIRTY "
+            f"(probes {pre:.2f}→{post:.2f} GiB/s) — "
+            f"{'retrying' if attempt < max_retries else 'keeping last'}",
+            file=sys.stderr,
+        )
+        if discarded is not None and attempt < max_retries:
+            discarded.append(res)
+        last = res
+    return last
+
+
 def _burn(q, secs: float) -> None:
     import hashlib
 
@@ -220,19 +277,27 @@ def main() -> None:
         partial_path = os.path.join(REPO, "BENCH", "scaling_partial.json")
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
 
+        min_gbps = float(os.environ.get("SCALING_GATE_GBPS", "10"))
+        discarded: list = []
+
         def _flush(lo, hi):
             with open(partial_path, "w") as f:
                 json.dump({"low_samples": lo, "high_samples": hi,
+                           "discarded_legs": discarded,
                            "n_docs": lo[0]["n_docs"] if lo else None,
                            "low_cores": low_cores, "high_cores": high_cores},
                           f, indent=2)
 
         lo_runs, hi_runs = [], []
         for i in range(repeats):
-            lo_runs.append(run_at(low_cores, src))
+            lo_runs.append(
+                run_leg_gated(low_cores, src, min_gbps, discarded=discarded)
+            )
             _flush(lo_runs, hi_runs)
             time.sleep(cooldown)
-            hi_runs.append(run_at(high_cores, src))
+            hi_runs.append(
+                run_leg_gated(high_cores, src, min_gbps, discarded=discarded)
+            )
             _flush(lo_runs, hi_runs)
             if i < repeats - 1:
                 time.sleep(cooldown)
@@ -248,17 +313,28 @@ def main() -> None:
     hi_best = min(hi_runs, key=lambda r: r["secs"])
     eff_best = (lo_best["secs"] / hi_best["secs"]) / ratio
 
-    # platform ceiling: same sustained duration class as the legs
+    # platform ceiling: same sustained duration class as the legs. Each
+    # calibration also runs inside a verified-clean window — a calibration
+    # landing in a trough is as poisoned as a leg (the r4 run's 2-worker
+    # memcpy read 1.58 GiB/s vs 12.24 fresh in the same session).
+    sys.path.insert(0, REPO)
+    from opensearch_loader_spark.platform_gate import wait_for_clean_window
+
+    min_gbps = float(os.environ.get("SCALING_GATE_GBPS", "10"))
     time.sleep(cooldown)
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-lo")
     cal_lo = cpu_calibration(low_cores, calib_secs)
     time.sleep(cooldown)
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-hi")
     cal_hi = cpu_calibration(high_cores, calib_secs)
     eff_platform = (cal_hi / cal_lo) / ratio
     # DRAM-bandwidth ceiling (memcpy burn) at both levels — shorter runs are
     # fine: bandwidth saturation shows within seconds
     time.sleep(cooldown)
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-lo")
     mc_lo = cpu_calibration(low_cores, min(calib_secs, 45.0), kind="memcpy")
     time.sleep(cooldown)
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-hi")
     mc_hi = cpu_calibration(high_cores, min(calib_secs, 45.0), kind="memcpy")
     eff_memcpy = (mc_hi / mc_lo) / ratio
 
@@ -266,6 +342,11 @@ def main() -> None:
         "sf_dir": sf_dir, "copies": copies, "repeats": repeats,
         "n_docs": lo_runs[0]["n_docs"],
         "low_cores": low_cores, "high_cores": high_cores,
+        "gate_gbps": min_gbps,
+        "all_legs_gated_clean": all(
+            r.get("gated_clean") for r in lo_runs + hi_runs
+        ),
+        "discarded_legs": discarded,
         "low_samples": lo_runs, "high_samples": hi_runs,
         "median_low_secs": med_lo, "median_high_secs": med_hi,
         "scaling_efficiency_median": round(eff_median, 3),
@@ -289,17 +370,25 @@ def main() -> None:
         json.dump(result, f, indent=2)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
+        gate_note = (
+            "all legs trough-gated clean"
+            if result["all_legs_gated_clean"]
+            else "WARNING: some legs kept dirty after retries"
+        )
         f.write(
             f"\n## Scaling run (sf_dir={sf_dir}, {lo_runs[0]['n_docs']} docs, "
-            f"{repeats} repeats)\n\n"
-            f"| cores | build secs (all samples) | median | docs/sec (median) | steal% |\n"
-            f"|---|---|---|---|---|\n"
+            f"{repeats} repeats; memcpy gate ≥{min_gbps} GiB/s per leg, "
+            f"{gate_note}, {len(discarded)} legs discarded)\n\n"
+            f"| cores | build secs (all samples) | median | docs/sec (median) | steal% | probes pre→post GiB/s |\n"
+            f"|---|---|---|---|---|---|\n"
             f"| {low_cores} | {lo_secs} | {med_lo} | "
             f"{round(lo_runs[0]['n_docs']/med_lo,1)} | "
-            f"{[r['steal_pct'] for r in lo_runs]} |\n"
+            f"{[r['steal_pct'] for r in lo_runs]} | "
+            f"{[(r.get('memcpy_gbps_pre'), r.get('memcpy_gbps_post')) for r in lo_runs]} |\n"
             f"| {high_cores} | {hi_secs} | {med_hi} | "
             f"{round(lo_runs[0]['n_docs']/med_hi,1)} | "
-            f"{[r['steal_pct'] for r in hi_runs]} |\n\n"
+            f"{[r['steal_pct'] for r in hi_runs]} | "
+            f"{[(r.get('memcpy_gbps_pre'), r.get('memcpy_gbps_post')) for r in hi_runs]} |\n\n"
             f"Scaling efficiency (T_{low_cores}/T_{high_cores})/{ratio:.0f}: "
             f"median **{round(eff_median, 3)}**, best {round(eff_best, 3)}; "
             f"platform ceiling (pure-CPU sha256, {calib_secs:.0f}s/level) "
