@@ -160,12 +160,35 @@ def run_leg_gated(
         wait_for_clean_window,
     )
 
+    # a leg that runs inside a trough is worthless AND slow (a 2c build can
+    # stretch past an hour at 0.02 GiB/s), so waiting hours for a clean
+    # window beats burning one contaminated attempt (SCALING_GATE_MAX_WAIT
+    # to override; this box's troughs have been observed to run ~1h)
+    max_wait = float(os.environ.get("SCALING_GATE_MAX_WAIT", "10800"))
     last = None
     for attempt in range(max_retries + 1):
         pre = wait_for_clean_window(
-            min_gbps=min_gbps, label=f"scaling-leg-{cores}c"
+            min_gbps=min_gbps, label=f"scaling-leg-{cores}c",
+            max_wait=max_wait,
         )
-        res = run_at(cores, src)
+        try:
+            res = run_at(cores, src)
+        except subprocess.TimeoutExpired:
+            # a window flip mid-leg can stretch a ~10-min build past the
+            # child timeout — that's a dirty leg, not a dead run
+            res = {"cores": cores, "secs": None, "timed_out": True}
+            res["memcpy_gbps_pre"] = round(pre, 2)
+            res["gated_clean"] = False
+            res["attempt"] = attempt
+            print(
+                f"scaling: leg {cores}c attempt {attempt} TIMED OUT — "
+                f"{'retrying' if attempt < max_retries else 'keeping last'}",
+                file=sys.stderr,
+            )
+            if discarded is not None and attempt < max_retries:
+                discarded.append(res)
+            last = res
+            continue
         post = memcpy_probe()
         res["memcpy_gbps_pre"] = round(pre, 2)
         res["memcpy_gbps_post"] = round(post, 2)
@@ -260,16 +283,25 @@ def main() -> None:
     cooldown = int(os.environ.get("SCALING_COOLDOWN", "30"))
     calib_secs = float(os.environ.get("SCALING_CALIB_SECS", "180"))
 
-    # corpus materialized ONCE, shared read-only by all legs
+    # corpus materialized ONCE, shared read-only by all legs. SCALING_SRC
+    # reuses an already-generated corpus dir (e.g. after a gate-abort
+    # restart) so a trough never taxes regeneration; the reused dir is kept
+    # on exit.
     import shutil
     import tempfile
 
-    src = tempfile.mkdtemp(
-        prefix="osls_scaling_src_",
-        dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"),
-    )
+    reuse = os.environ.get("SCALING_SRC")
+    if reuse and os.path.exists(os.path.join(reuse, "corpus", "_SUCCESS")):
+        src = reuse
+    else:
+        reuse = None
+        src = tempfile.mkdtemp(
+            prefix="osls_scaling_src_",
+            dir=os.environ.get("SCALING_IDX_DIR", "/dev/shm"),
+        )
     try:
-        gen_corpus(sf_dir, copies, src)
+        if not reuse:
+            gen_corpus(sf_dir, copies, src)
         # Legs are INTERLEAVED (low, high, low, high, ...) so both experience
         # the same box phases, with a cool-down between children. Partial
         # results flush to disk after every leg so a wall-clock cutoff never
@@ -284,7 +316,7 @@ def main() -> None:
             with open(partial_path, "w") as f:
                 json.dump({"low_samples": lo, "high_samples": hi,
                            "discarded_legs": discarded,
-                           "n_docs": lo[0]["n_docs"] if lo else None,
+                           "n_docs": lo[0].get("n_docs") if lo else None,
                            "low_cores": low_cores, "high_cores": high_cores},
                           f, indent=2)
 
@@ -302,9 +334,14 @@ def main() -> None:
             if i < repeats - 1:
                 time.sleep(cooldown)
     finally:
-        shutil.rmtree(src, ignore_errors=True)
+        if not reuse:
+            shutil.rmtree(src, ignore_errors=True)
 
     ratio = high_cores / low_cores
+    # a leg whose every attempt timed out carries secs=None — it stays in
+    # discarded evidence but cannot enter the median
+    lo_runs = [r for r in lo_runs if r.get("secs") is not None]
+    hi_runs = [r for r in hi_runs if r.get("secs") is not None]
     lo_secs = [r["secs"] for r in lo_runs]
     hi_secs = [r["secs"] for r in hi_runs]
     med_lo, med_hi = statistics.median(lo_secs), statistics.median(hi_secs)
@@ -321,20 +358,21 @@ def main() -> None:
     from opensearch_loader_spark.platform_gate import wait_for_clean_window
 
     min_gbps = float(os.environ.get("SCALING_GATE_GBPS", "10"))
+    gate_wait = float(os.environ.get("SCALING_GATE_MAX_WAIT", "10800"))
     time.sleep(cooldown)
-    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-lo")
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-lo", max_wait=gate_wait)
     cal_lo = cpu_calibration(low_cores, calib_secs)
     time.sleep(cooldown)
-    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-hi")
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-sha-hi", max_wait=gate_wait)
     cal_hi = cpu_calibration(high_cores, calib_secs)
     eff_platform = (cal_hi / cal_lo) / ratio
     # DRAM-bandwidth ceiling (memcpy burn) at both levels — shorter runs are
     # fine: bandwidth saturation shows within seconds
     time.sleep(cooldown)
-    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-lo")
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-lo", max_wait=gate_wait)
     mc_lo = cpu_calibration(low_cores, min(calib_secs, 45.0), kind="memcpy")
     time.sleep(cooldown)
-    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-hi")
+    wait_for_clean_window(min_gbps=min_gbps, label="calib-mc-hi", max_wait=gate_wait)
     mc_hi = cpu_calibration(high_cores, min(calib_secs, 45.0), kind="memcpy")
     eff_memcpy = (mc_hi / mc_lo) / ratio
 
