@@ -62,6 +62,32 @@ def memcpy_probe(workers: int = 2, secs: float = 8.0) -> float:
     return (total / dt) * 0.5
 
 
+def warm_up(workers: int = 4, secs: float = 25.0) -> float:
+    """Sustained multi-worker streaming burn; returns its own aggregate
+    GiB/s. Diagnosed 2026-08-17: in an idle-box 'trough' a SHORT probe reads
+    ~0.01 GiB/s while a 30 s sustained burn runs at ~39 GiB/s and leaves the
+    next cold probe reading ≥10 — the host demotes an idle guest's memory
+    service and re-promotes it under sustained demand. Warming is therefore
+    part of the gate protocol, not a distortion: a real leg's first ~30 s
+    would pay the same promotion cost either way."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_burn_memcpy, args=(q, secs))
+        for _ in range(workers)
+    ]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    dt = time.time() - t0
+    return (total / dt) * 0.5
+
+
 def wait_for_clean_window(
     min_gbps: float = 10.0,
     workers: int = 2,
@@ -70,22 +96,28 @@ def wait_for_clean_window(
     max_wait: float = 1800.0,
     label: str = "gate",
 ) -> float:
-    """Block until a memcpy probe reads ≥ min_gbps; return that reading.
-
-    If the box never surfaces from the trough within ``max_wait``, return
-    the last (failing) reading — callers stamp it into the artifact so a
-    contaminated run is self-documenting rather than silently wrong."""
+    """Return a ≥ min_gbps cold-probe reading, ACTIVELY warming the box
+    first when needed (see ``warm_up``): probe → if low, sustained burn →
+    re-probe; repeat with cooldown until the post-warm-up probe passes or
+    ``max_wait`` elapses. A box whose cold probe stays low even right after
+    a healthy warm-up burn is genuinely contaminated (host-side pressure,
+    not idle-tier demotion) — the last reading is returned and callers
+    stamp it into the artifact so the run is self-documenting."""
     t0 = time.time()
     g = memcpy_probe(workers, probe_secs)
     while g < min_gbps and time.time() - t0 < max_wait:
+        w = warm_up()
+        g = memcpy_probe(workers, probe_secs)
         print(
-            f"{label}: memcpy probe {g:.2f} GiB/s < {min_gbps} — bandwidth "
-            f"trough, waiting {cooldown:.0f}s "
+            f"{label}: cold probe {g:.2f} GiB/s after warm-up burn "
+            f"({w:.1f} GiB/s sustained) — "
+            f"{'clean' if g >= min_gbps else f'still low, waiting {cooldown:.0f}s'} "
             f"({time.time() - t0:.0f}s elapsed)",
             file=sys.stderr,
         )
+        if g >= min_gbps:
+            break
         time.sleep(cooldown)
-        g = memcpy_probe(workers, probe_secs)
     if g < min_gbps:
         print(
             f"{label}: WARNING — no ≥{min_gbps} GiB/s window within "
