@@ -108,6 +108,14 @@ t0 = time.time()
 m = build_index(spark, corpus, d, n_buckets=max(16, cores),
                 rows_per_run=rows_per_run)
 secs = time.time() - t0
+# closing bracket probe INSIDE the child, before the JVM exits: the
+# parent's post-probe right after child teardown consistently read ~0.01
+# GiB/s even for fast legs — tearing down a multi-GB JVM triggers a
+# host-side page-reclaim storm that throttles the very next fresh
+# allocation, which is the probe's working set. In-process, the probe
+# sees the same memory service the build just ran under.
+from opensearch_loader_spark.platform_gate import memcpy_probe
+post_gbps = memcpy_probe(2, 8.0)
 stat1 = _cpu_stat()
 mem1 = _mem()
 # hypervisor CPU steal during the build — evidence for the measurement's
@@ -116,6 +124,7 @@ steal_pct = round(100.0 * (stat1[1] - stat0[1]) / max(1, stat1[0] - stat0[0]), 2
 shutil.rmtree(d, ignore_errors=True)
 print(json.dumps({"cores": cores, "secs": round(secs, 3), "n_docs": n,
                   "docs_per_sec": round(n / secs, 1),
+                  "post_gbps_inchild": round(post_gbps, 2),
                   "steal_pct": steal_pct,
                   "mem_avail_mb": [mem0.get("MemAvailable"), mem1.get("MemAvailable")],
                   "shmem_mb": [mem0.get("Shmem"), mem1.get("Shmem")],
@@ -189,7 +198,12 @@ def run_leg_gated(
                 discarded.append(res)
             last = res
             continue
-        post = memcpy_probe()
+        # closing bracket = the CHILD's in-process post-build probe (the
+        # parent's own probe right after JVM teardown reads ~0.01 GiB/s
+        # spuriously — reclaim storm); parent probe kept as extra evidence
+        parent_post = memcpy_probe()
+        res["memcpy_gbps_parent_post"] = round(parent_post, 2)
+        post = res.get("post_gbps_inchild") or parent_post
         res["memcpy_gbps_pre"] = round(pre, 2)
         res["memcpy_gbps_post"] = round(post, 2)
         clean = (
