@@ -198,19 +198,22 @@ def run_leg_gated(
                 discarded.append(res)
             last = res
             continue
-        # closing bracket = the CHILD's in-process post-build probe (the
-        # parent's own probe right after JVM teardown reads ~0.01 GiB/s
-        # spuriously — reclaim storm); parent probe kept as extra evidence
+        # Post-probes are recorded as EVIDENCE but are NOT a discard
+        # criterion: measured on this box, a cold probe right after ANY
+        # sustained run reads ~0.01 GiB/s — including the in-child probe
+        # after a leg that was CPU-pegged at its full core width the whole
+        # time — because the host demotes fresh-allocation memory service
+        # under our own sustained load. A criterion that fails every leg
+        # regardless of leg quality measures nothing. Cleanliness is
+        # instead established by (a) the warmed ENTRY state (pre-probe ≥
+        # gate), (b) external-noise check (steal%), and (c) agreement
+        # across repeats in the final report.
         parent_post = memcpy_probe()
         res["memcpy_gbps_parent_post"] = round(parent_post, 2)
         post = res.get("post_gbps_inchild") or parent_post
         res["memcpy_gbps_pre"] = round(pre, 2)
         res["memcpy_gbps_post"] = round(post, 2)
-        clean = (
-            pre >= min_gbps
-            and post >= min_gbps
-            and max(pre, post) <= 2 * min(pre, post)
-        )
+        clean = pre >= min_gbps and res.get("steal_pct", 0.0) <= 3.0
         res["gated_clean"] = clean
         res["attempt"] = attempt
         if clean:
