@@ -127,7 +127,11 @@ def delta_encode_segments(
     out[0] = v[0]
     np.subtract(v[1:], v[:-1], out=out[1:])
     seg_starts = np.asarray(seg_starts, dtype=np.int64)
-    out[seg_starts] = v[seg_starts]
+    # zero-length trailing segments put a seg_start AT len(values) — mask
+    # them out so encode tolerates exactly what delta_decode_segments was
+    # hardened for (ADVICE r5: the contract was asymmetric)
+    valid = seg_starts[seg_starts < v.size]
+    out[valid] = v[valid]
     return out
 
 

@@ -219,28 +219,23 @@ def prepare_docs(
 
     # 2. last-writer-wins dedup on url (upsert semantics of the reference's
     #    bulk_upsert keyed on id_field, opensearch_client.py:199-213).
-    #    HASH-AGG max(struct) instead of a row_number window (round-3): the
-    #    window plan sorts the full-text rows and buffers each url-group in
-    #    ExternalAppendOnlyUnsafeRowArray — measured falling off a cliff
-    #    (99 s → stuck >10 min on the same 6M-doc input, AQE-coalescing
-    #    dependent). max(struct(ts, ...)) is a hash aggregate with map-side
-    #    partial combine, no sort, no per-group buffers — and its
-    #    lexicographic ordering makes duplicate-timestamp ties DETERMINISTIC
-    #    (the window broke ties arbitrarily).
-    payload = F.struct(
-        F.col("warc_ts_us"), F.col("text"), F.col("lang"), F.col("text_sha256")
-    )
-    deduped = (
-        extracted.groupBy("url")
-        .agg(F.max(payload).alias("_p"))
-        .select(
-            "url",
-            F.col("_p.warc_ts_us").alias("warc_ts_us"),
-            F.col("_p.lang").alias("lang"),
-            F.col("_p.text").alias("text"),
-            F.col("_p.text_sha256").alias("text_sha256"),
-        )
-    )
+    #    Round 6 (guide §2.4, remove shuffles outright): dedup is folded into
+    #    the docID-assignment pass below instead of a separate groupBy(url)
+    #    hash-agg. pid is a pure function of url, so ALL copies of a url land
+    #    in the same _pid partition of the single repartition shuffle; the
+    #    partition sort — which the assignment pass needs anyway — adds the
+    #    payload columns DESCENDING (NULLS LAST), so the first row of each
+    #    url run is exactly the row max(struct(warc_ts_us, text, lang,
+    #    text_sha256)) used to select (lexicographic field order, nulls
+    #    smallest — identical winner, identical deterministic ties), and
+    #    _assign drops the rest. Net: the full-text payload crosses the
+    #    network ONCE (the round-3..5 shape shuffled it twice: groupBy(url)
+    #    exchange, then the _pid repartition). The round-3 finding that
+    #    killed the row_number window does not apply: that plan buffered
+    #    url-groups in ExternalAppendOnlyUnsafeRowArray; this is a plain
+    #    partition sort (spillable, no per-group buffers) that was already
+    #    in the plan to order docIDs.
+    deduped = extracted
 
     # 3. scalable dense docID ordered by url — deterministic EXPLICIT range
     #    partitioning, NO full-corpus cache (round 3). The round-1/2 design
@@ -279,13 +274,31 @@ def prepare_docs(
     sample = sorted(tot["sample"])
     boundaries = boundaries_from_sample(sample, n_part)
     pid_expr = _pid_column(boundaries)
-    count_rows = (
-        urls.withColumn("_pid", pid_expr)
-        .groupBy("_pid")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
-    counts = {r["_pid"]: r["cnt"] for r in count_rows}
+    if mod == 1:
+        # the "sample" is the COMPLETE sorted distinct-url list (every url
+        # hashes to 0 mod 1), so per-pid counts are exact from a driver-side
+        # searchsorted — the second url aggregation job is pure overhead at
+        # this size (round 6, guide §1.2: fewer passes). Same pid function:
+        # pid = #(boundaries ≤ url), and np.searchsorted side='right' on the
+        # sorted url array counts exactly that per boundary.
+        edges = np.searchsorted(
+            np.asarray(sample, dtype=object), np.asarray(boundaries, dtype=object),
+            side="left",
+        )
+        bounds = np.concatenate(([0], edges, [len(sample)]))
+        counts = {
+            pid: int(bounds[pid + 1] - bounds[pid])
+            for pid in range(len(boundaries) + 1)
+            if bounds[pid + 1] > bounds[pid]
+        }
+    else:
+        count_rows = (
+            urls.withColumn("_pid", pid_expr)
+            .groupBy("_pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        counts = {r["_pid"]: r["cnt"] for r in count_rows}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -296,11 +309,21 @@ def prepare_docs(
         _aux["url_hash"] = url_hash
         _aux["max_doc_id"] = acc - 1
     b_offsets = spark.sparkContext.broadcast(offsets)
-    # full-payload pass: runs exactly once (consumed only by the docs write)
+    # full-payload pass: runs exactly once (consumed only by the docs write).
+    # Sort keys: (_pid, url) orders docIDs; the descending payload columns
+    # make the first row per url the last-writer-wins survivor (see dedup
+    # note above).
     parted = (
         deduped.withColumn("_pid", pid_expr)
         .repartition(max(n_part, 1), "_pid")
-        .sortWithinPartitions("_pid", "url")
+        .sortWithinPartitions(
+            "_pid",
+            "url",
+            F.desc("warc_ts_us"),
+            F.desc("text"),
+            F.desc("lang"),
+            F.desc("text_sha256"),
+        )
     )
 
     out_fields = list(extracted_schema.fields) + [
@@ -313,16 +336,30 @@ def prepare_docs(
     analyze = analyzer
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # iterator is per-partition; rows arrive sorted by (_pid, url). A
-        # partition may hold SEVERAL pids (hash-repartitioned on _pid) —
-        # each pid numbers from its own broadcast offset, carried across
-        # batches. With a custom analyzer, doc_len is computed here
-        # (map-side, same tokenizer as the postings stage); the default
-        # analyzer computes it JVM-side below.
+        # iterator is per-partition; rows arrive sorted by (_pid, url,
+        # payload desc). A partition may hold SEVERAL pids (hash-
+        # repartitioned on _pid) — each pid numbers from its own broadcast
+        # offset, carried across batches. Duplicate urls are adjacent (sort)
+        # and the FIRST row of each url run is the last-writer-wins max —
+        # later rows are dropped here (url runs may span batch boundaries:
+        # `last_url` carries across). With a custom analyzer, doc_len is
+        # computed here (map-side, same tokenizer as the postings stage);
+        # the default analyzer computes it JVM-side below.
         counters: dict[int, int] = {}
+        last_url: str | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            urls_arr = pdf["url"].values
+            keep = np.ones(len(pdf), dtype=bool)
+            keep[1:] = urls_arr[1:] != urls_arr[:-1]
+            if last_url is not None:
+                keep[0] = urls_arr[0] != last_url
+            last_url = urls_arr[-1]
+            if not keep.all():
+                pdf = pdf.loc[keep].copy()
+                if len(pdf) == 0:
+                    continue
             pids = pdf["_pid"].values
             ids = np.empty(len(pdf), dtype=np.int64)
             for p in np.unique(pids):
@@ -522,7 +559,15 @@ def sampled_skew_plan(
     candidate head terms are collected, so the driver list stays tiny even
     at web vocabulary sizes. Default analyzer counts via the shared JVM
     tokenizer expression (codegen, no Python); custom analyzers tokenize the
-    sample through the Arrow path."""
+    sample through the Arrow path.
+
+    Early out (round 6): df ≤ n_docs always, so when n_docs·margin ≤
+    rows_per_run NO term can need >1 run — the plan is provably empty and
+    the sampling job (a full-corpus tokenize when mod == 1) is skipped
+    outright. Exact and scale-adaptive: any corpus big enough to need
+    splitting still runs the sampled plan."""
+    if n_docs * margin <= rows_per_run:
+        return {}
     mod = max(1, min(rows_per_run // 100, n_docs // 200_000))
     sample = docs.filter(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
     if analyzer is None:

@@ -178,8 +178,14 @@ def lsh_bucketed_topk(
     cb = lsh_bucket_keys(
         corpus, dim, n_tables, bits_per_table, seed, plane_family
     ).select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+    # broadcast the QUERY side's bucket keys (round 6, guide §3.1): the
+    # query set is small/broadcastable by contract (module docstring), but
+    # qb comes out of a mapInPandas so the planner has no size estimate and
+    # falls back to shuffling BOTH sides on (table, bucket). The hint turns
+    # the candidate join into a broadcast hash join — the corpus bucket
+    # table is never shuffled.
     cand = (
-        qb.join(cb, ["table", "bucket"])
+        F.broadcast(qb).join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

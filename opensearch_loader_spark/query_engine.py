@@ -316,6 +316,7 @@ class IndexReader:
             seg: None for seg in seg_order
         }
         self._shadow_slices_df: DataFrame | None = None
+        self._blocks_union: DataFrame | None = None
         if not self.sharded:
             upd: dict[str, tuple[int, bytes]] = {}
             for seg in self._updated_segs:
@@ -360,6 +361,32 @@ class IndexReader:
                 out = out.unionByName(d)
             self._shadow_slices_df = out.persist()
         return self._shadow_slices_df
+
+    def blocks_union(self, spark: SparkSession) -> DataFrame:
+        """Unioned per-segment postings relation, built once per reader
+        (round 6): re-creating it per query repeated the parquet file
+        listing + schema resolution on the driver for every search call.
+        Only the PLAN is reused — nothing is persisted; every query still
+        reads its blocks from parquet at execution time, and per-query
+        bucket/term filters push down through the union into each scan
+        exactly as before (readers are evicted on MANIFEST mtime change,
+        so a rebuilt index never serves a stale file list)."""
+        if self._blocks_union is None:
+            parts = []
+            for seg in self.info["segments"]:
+                p = os.path.join(
+                    self.dir, "segments", seg["segment"], "postings"
+                )
+                parts.append(
+                    spark.read.parquet(p).withColumn(
+                        "segment", F.lit(seg["segment"])
+                    )
+                )
+            out = parts[0]
+            for df in parts[1:]:
+                out = out.unionByName(df)
+            self._blocks_union = out
+        return self._blocks_union
 
     def fingerprint(self) -> tuple:
         top = os.path.join(self.dir, "MANIFEST.json")
@@ -430,12 +457,20 @@ def _bucket_of(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[st
 def read_query_blocks(
     spark: SparkSession, info: dict, terms: list[str],
     buckets: list[int] | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Read only the posting blocks of the query terms: partition pruning on
     `bucket`, pushed-down `term IN` filter (verify with .explain →
-    PushedFilters: In(term, ...))."""
+    PushedFilters: In(term, ...)). ``base`` (round 6) is a prebuilt unioned
+    postings relation (IndexReader.blocks_union) — the filters push through
+    the union into each scan identically; passing it just skips the
+    per-query file listing."""
     if buckets is None:
         buckets = sorted(set(_bucket_of(spark, terms, info["n_buckets"]).values()))
+    if base is not None:
+        return base.filter(F.col("bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        )
     parts = []
     for seg in info["segments"]:
         p = os.path.join(info["dir"], "segments", seg["segment"], "postings")
@@ -912,7 +947,8 @@ def search(
             return spark.createDataFrame([], TOPK_SCHEMA)
 
     blocks = read_query_blocks(
-        spark, info, [t for t in all_terms if t in dfs], buckets=buckets
+        spark, info, [t for t in all_terms if t in dfs], buckets=buckets,
+        base=reader.blocks_union(spark),
     )
     # per-query chunking: width = docID-space slice so expected postings per
     # task stay bounded. sum(df) over the query's terms is the upper bound of
