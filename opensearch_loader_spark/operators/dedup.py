@@ -503,6 +503,13 @@ def dedup_clusters(
         shortcut = stepped.select(
             F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        # convergence sum rides the checkpoint job via observe (round 6):
+        # the separate agg job per round was pure scheduling overhead —
+        # CollectMetrics accumulates during the eager materialization.
+        # decimal(38,0) before summing: exact and ANSI-overflow-safe.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         labels = (
             stepped.join(shortcut, "lbl", "left")
             .select(
@@ -511,9 +518,12 @@ def dedup_clusters(
                     F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
                 ).alias("lbl"),
             )
+            .observe(
+                obs, F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("lbl").cast("decimal(38,0)")).collect()[0][0]
+        cur = obs.get["s"]
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break

@@ -126,8 +126,14 @@ def build_delta_segment(
     joined = batch.join(existing, "url", "left")
     matched = joined.filter(F.col("doc_id").isNotNull())
     unmatched = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
-    updated_count = matched.count()
-    new_count = unmatched.count()
+    # one pass for both counts (round 6): two separate .count() actions ran
+    # the batch join twice just to split one number
+    cnt_row = joined.agg(
+        F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("u"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n"),
+    ).collect()[0]
+    updated_count = int(cnt_row["u"])
+    new_count = int(cnt_row["n"])
     skipped_count = 0 if upsert else new_count
 
     if upsert and new_count:
