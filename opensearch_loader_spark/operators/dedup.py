@@ -145,9 +145,27 @@ def _band_pairs(
     )
 
     def _emit(batches):
+        # pair masks are built in ROW CHUNKS of the g×g triangle (~4M cells
+        # per temporary) and output flushes every ~4M pairs: per-task memory
+        # stays O(chunk·g + flush), never O(g²), so a huge bucket degrades
+        # to a straggler instead of an OOM (the join it replaced simply
+        # exploded g² rows into the shuffle)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        pending = 0
+
+        def _flush() -> pd.DataFrame:
+            nonlocal out_a, out_b, pending
+            df = pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                    "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                }
+            )
+            out_a, out_b, pending = [], [], 0
+            return df
+
         for pdf in batches:
-            out_a: list[np.ndarray] = []
-            out_b: list[np.ndarray] = []
             for band, members in zip(pdf["band"].values, pdf["members"].values):
                 g = len(members)
                 if g < 2:
@@ -158,31 +176,43 @@ def _band_pairs(
                 )
                 order = np.argsort(ids, kind="stable")
                 ids = ids[order]
-                keep = np.triu(np.ones((g, g), dtype=bool), 1)
+                n = None
                 if has_ratio:
                     n = np.fromiter(
                         (m["n_sh"] for m in members), dtype=np.float64, count=g
                     )[order]
-                    keep &= np.minimum.outer(n, n) >= t * np.maximum.outer(n, n)
+                B = None
                 if band > 0:
                     B = np.stack([np.asarray(m["b"]) for m in members])[
                         order, :band
                     ]
-                    shared = np.zeros((g, g), dtype=bool)
-                    for e in range(band):
-                        col = B[:, e]
-                        shared |= col[:, None] == col[None, :]
-                    keep &= ~shared
-                ai, bi = np.nonzero(keep)
-                if len(ai):
-                    out_a.append(ids[ai])
-                    out_b.append(ids[bi])
-            yield pd.DataFrame(
-                {
-                    "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                    "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                }
-            )
+                step = max(256, (1 << 22) // g)
+                cols = np.arange(g)
+                for i0 in range(0, g, step):
+                    i1 = min(i0 + step, g)
+                    keep = cols[None, :] > np.arange(i0, i1)[:, None]
+                    if n is not None:
+                        nm = n[i0:i1]
+                        keep &= (
+                            np.minimum.outer(nm, n)
+                            >= t * np.maximum.outer(nm, n)
+                        )
+                    if B is not None:
+                        shared = np.zeros_like(keep)
+                        for e in range(band):
+                            shared |= B[i0:i1, e][:, None] == B[:, e][None, :]
+                        keep &= ~shared
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        out_a.append(ids[ai + i0])
+                        out_b.append(ids[bi])
+                        pending += len(ai)
+                        if pending >= (1 << 22):
+                            yield _flush()
+            if pending:
+                yield _flush()
+        if pending:
+            yield _flush()
 
     return grouped.mapInPandas(_emit, "doc_a long, doc_b long")
 

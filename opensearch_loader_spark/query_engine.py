@@ -672,6 +672,25 @@ def bmw_topk(
     docs passing a stored-field filter (filter context: BM25 stats stay
     corpus-global, as OpenSearch's non-scoring filter context does).
     """
+    if not conjunctive:
+        # adaptive scorer cutover (round 6): block-max WAND skips decode
+        # work only when upper bounds can beat θ — the selective regime
+        # (rare terms, small volumes). Past ~64 KiB of packed docID gaps
+        # (≈50k+ postings) the Python pivot loop dominates and the exact
+        # vectorized TAAT path wins regardless of pruning potential; the
+        # gap-byte sum is a plan-time proxy the task already holds. Both
+        # scorers are bit-identical (see taat_topk); the threshold is a
+        # pure performance choice, env-overridable for measurement.
+        est_gap_bytes = sum(
+            len(b[3])
+            for runs in term_blocks.values()
+            for blocks, _ in runs
+            for b in blocks
+        )
+        if est_gap_bytes >= TAAT_MIN_GAP_BYTES:
+            return taat_topk(
+                term_blocks, term_df, N, avgdl, k, doc_range, allowed
+            )
     iters: list[_TermIter] = []
     n_query_terms = len(term_blocks)
     for term, runs in term_blocks.items():
@@ -742,22 +761,15 @@ def bmw_topk(
     return [(doc, score) for score, doc in top.items]
 
 
-def _conjunctive_topk(
-    term_blocks: dict[str, list[list[tuple]]],
-    term_df: dict[str, int],
-    N: int,
-    avgdl: float,
-    k: int,
-    doc_range: tuple[int, int] | None = None,
-    allowed: tuple[int, bytes] | None = None,
-) -> list[tuple[int, float]]:
-    """Posting-list intersection (SURVEY.md §2 #20) + BM25 over survivors.
-
-    Sort-merge style: decode each term's runs into one docID-sorted array
-    (runs are disjoint), progressively intersect starting from the rarest
-    term (smallest list prunes fastest), then score the survivors.
-    Vectorized numpy throughout; exact and rank-identical by construction.
-    """
+def _decode_term_arrays(
+    term_blocks: dict[str, list[tuple]],
+    doc_range: tuple[int, int] | None,
+    allowed,
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode every term's runs into one docID-sorted (docs, tfs, dls)
+    triple, applying the doc_range / shadow / allowed masks exactly as
+    _TermIter._load does. Shared by the conjunctive intersection and the
+    vectorized TAAT scorer (round 6)."""
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, runs in term_blocks.items():
         ds, ts, ls = [], [], []
@@ -784,9 +796,89 @@ def _conjunctive_topk(
         t = np.concatenate(ts)
         l = np.concatenate(ls)
         order = np.argsort(d, kind="stable")
-        if d.size == 0:
-            return []  # a required term fully shadowed → empty intersection
         decoded[term] = (d[order], t[order], l[order])
+    return decoded
+
+
+def taat_topk(
+    term_blocks: dict[str, list[tuple]],
+    term_df: dict[str, int],
+    N: int,
+    avgdl: float,
+    k: int,
+    doc_range: tuple[int, int] | None = None,
+    allowed: tuple[int, bytes] | None = None,
+) -> list[tuple[int, float]]:
+    """Exact vectorized term-at-a-time top-k — the high-volume disjunctive
+    scorer (round 6, guide §4: no per-row Python in the hot path).
+
+    The Python WAND loop costs ~10 µs per pivot; on a task holding ~10⁶
+    postings of low-idf terms (where block-max bounds can't prune — every
+    doc is a candidate) that is tens of seconds, while this path is three
+    numpy passes (measured: 19 s → 0.6 s for a 3-head-term query over a 1M-
+    doc index). Bit-identical to bmw_topk by construction: contributions
+    use the same float64 expression with the same operand order as
+    _TermIter.score_current; per-doc summation order is ascending term
+    (terms concatenated sorted, stable doc sort, sequential reduceat —
+    exactly WAND's sorted-contribs loop); ranking is lexsort by
+    (score desc, doc asc), the same total order _TopK maintains. Decoding
+    everything it touches is the regime's floor: when nothing can be
+    pruned, lazy block skipping only adds bookkeeping."""
+    decoded = _decode_term_arrays(term_blocks, doc_range, allowed)
+    parts_d: list[np.ndarray] = []
+    parts_c: list[np.ndarray] = []
+    for term in sorted(decoded):  # ascending term order = summation order
+        d, tf, dl = decoded[term]
+        if d.size == 0:
+            continue
+        idf = bm25_idf(N, term_df[term])
+        contrib = idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+        parts_d.append(d)
+        parts_c.append(contrib)
+    if not parts_d:
+        return []
+    D = np.concatenate(parts_d)
+    C = np.concatenate(parts_c)
+    order = np.argsort(D, kind="stable")
+    Ds, Cs = D[order], C[order]
+    seg = np.flatnonzero(np.concatenate(([True], Ds[1:] != Ds[:-1])))
+    # STRICT left-to-right segmented sum: np.add.reduceat reorders the
+    # addition (pairwise/SIMD) and drifts a ulp from WAND's sequential
+    # `total += c` — measured on a 3-term doc. Segments hold at most
+    # n_query_terms elements, so one vectorized add per position-in-segment
+    # reproduces the exact FP sequence.
+    lens = np.diff(np.append(seg, len(Ds)))
+    totals = Cs[seg].copy()
+    for j in range(1, int(lens.max())):
+        m = lens > j
+        totals[m] = totals[m] + Cs[seg[m] + j]
+    docs_u = Ds[seg]
+    top = np.lexsort((docs_u, -totals))[:k]
+    return [(int(docs_u[i]), float(totals[i])) for i in top]
+
+
+def _conjunctive_topk(
+    term_blocks: dict[str, list[list[tuple]]],
+    term_df: dict[str, int],
+    N: int,
+    avgdl: float,
+    k: int,
+    doc_range: tuple[int, int] | None = None,
+    allowed: tuple[int, bytes] | None = None,
+) -> list[tuple[int, float]]:
+    """Posting-list intersection (SURVEY.md §2 #20) + BM25 over survivors.
+
+    Sort-merge style: decode each term's runs into one docID-sorted array
+    (runs are disjoint), progressively intersect starting from the rarest
+    term (smallest list prunes fastest), then score the survivors.
+    Vectorized numpy throughout; exact and rank-identical by construction.
+    """
+    decoded = _decode_term_arrays(term_blocks, doc_range, allowed)
+    for term in decoded:
+        if decoded[term][0].size == 0:
+            return []  # a required term fully shadowed → empty intersection
 
     terms_by_size = sorted(decoded, key=lambda t: len(decoded[t][0]))
     cand = decoded[terms_by_size[0]][0]
@@ -831,6 +923,12 @@ PARTIAL_SCHEMA = T.StructType(
 # postings a single scoring task may hold — bounds per-task memory/time for
 # head-term queries regardless of df (judge round-1 item #3)
 POSTINGS_PER_TASK = 2_000_000
+
+# packed-gap bytes per task above which the disjunctive scorer switches from
+# the Python block-max WAND loop to the exact vectorized TAAT path (round 6)
+TAAT_MIN_GAP_BYTES = int(
+    os.environ.get("OSLS_TAAT_MIN_GAP_BYTES", str(64 * 1024))
+)
 
 
 def search(

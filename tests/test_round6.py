@@ -231,6 +231,87 @@ class TestVarbyteTrailingEmptySegment:
         assert delta_decode_segments(gaps, lengths).tolist() == vals.tolist()
 
 
+class TestTaatWandIdentity:
+    def _term_blocks(self, n_docs=5000, seed=3):
+        """Real emit_blocks output for synthetic zipf-ish postings: several
+        terms with overlapping doc sets, multiple runs for one term."""
+        from opensearch_loader_spark.indexer import emit_blocks
+
+        rng = np.random.default_rng(seed)
+        avgdl = 40.0
+        tb = {}
+        dfs = {}
+        for term, df, runs in [
+            ("alpha", 3000, 1), ("beta", 1200, 2), ("gamma", 150, 1)
+        ]:
+            docs = np.sort(
+                rng.choice(n_docs, size=df, replace=False)
+            ).astype(np.uint64)
+            tfs = rng.integers(1, 9, size=df).astype(np.uint64)
+            dls = rng.integers(10, 90, size=df).astype(np.uint64)
+            runs_list = []
+            for r in range(runs):
+                m = (docs % runs) == r
+                rows = emit_blocks(
+                    term, r, docs[m], tfs[m], dls[m], avgdl, block_size=64
+                )
+                blocks = [
+                    (row[3], row[4], row[6], row[7], row[8], row[9])
+                    for row in rows
+                ]
+                runs_list.append((blocks, None))
+            tb[term] = runs_list
+            dfs[term] = df
+        return tb, dfs, n_docs, avgdl
+
+    def test_taat_identical_to_wand_all_masks(self):
+        """taat_topk must be bit-identical to the Python block-max WAND —
+        scores, ranking, tie-breaks — under doc_range and allowed masks."""
+        from opensearch_loader_spark.query_engine import bmw_topk, taat_topk
+        import opensearch_loader_spark.query_engine as qe
+
+        tb, dfs, n_docs, avgdl = self._term_blocks()
+        allowed_ids = np.arange(0, n_docs, 3, dtype=np.int64)
+        size = (n_docs + 8) // 8
+        bm = np.zeros(size, np.uint8)
+        np.bitwise_or.at(
+            bm, allowed_ids >> 3, (1 << (allowed_ids & 7)).astype(np.uint8)
+        )
+        cases = [
+            dict(),
+            dict(doc_range=(1000, 4000)),
+            dict(allowed=(0, bm.tobytes())),
+            dict(doc_range=(500, 4500), allowed=(0, bm.tobytes())),
+        ]
+        old = qe.TAAT_MIN_GAP_BYTES
+        try:
+            for k in (5, 10, 100):
+                for kw in cases:
+                    qe.TAAT_MIN_GAP_BYTES = 1 << 60  # force the WAND loop
+                    w = bmw_topk(tb, dfs, n_docs, avgdl, k, **kw)
+                    t = taat_topk(tb, dfs, n_docs, avgdl, k, **kw)
+                    assert w == t, (k, kw)
+                    assert len(w) == min(k, len(w))
+        finally:
+            qe.TAAT_MIN_GAP_BYTES = old
+
+    def test_dispatch_threshold(self):
+        """bmw_topk must route to TAAT above the gap-byte threshold and
+        still produce the same result."""
+        import opensearch_loader_spark.query_engine as qe
+
+        tb, dfs, n_docs, avgdl = self._term_blocks()
+        old = qe.TAAT_MIN_GAP_BYTES
+        try:
+            qe.TAAT_MIN_GAP_BYTES = 1 << 60
+            w = qe.bmw_topk(tb, dfs, n_docs, avgdl, 10)
+            qe.TAAT_MIN_GAP_BYTES = 0
+            t = qe.bmw_topk(tb, dfs, n_docs, avgdl, 10)
+        finally:
+            qe.TAAT_MIN_GAP_BYTES = old
+        assert w == t
+
+
 class TestSearchPlanReuse:
     def test_blocks_union_cached_per_reader_and_results_stable(
         self, spark, tiny_index
