@@ -224,6 +224,16 @@ _ALLOWED_CACHE: dict[tuple, "tuple[int, bytes] | None"] = {}
 # sharded-mode analogue: persisted DataFrames of allowed-bitmap SLICES
 _ALLOWED_SLICES_CACHE: dict[tuple, DataFrame] = {}
 
+# compiled-plan cache (round 6): repeated identical searches reuse the
+# ANALYZED DataFrame — the prepared-statement pattern. Measured: executing a
+# reused plan takes ~0.18 s where a freshly built one pays ~0.4 s of
+# Catalyst analysis/optimization + py4j plan construction on top. This
+# caches no data and no results: every collect re-executes the plan against
+# the parquet files; the key embeds the index fingerprint (MANIFEST mtime),
+# so a rebuilt index can never serve a stale plan. Bounded FIFO.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_CACHE_MAX = 64
+
 
 def _allowed_ids_df(spark: SparkSession, info: dict, doc_filter: str) -> DataFrame:
     """Distributed allowed-docs set for a stored-field predicate: per
@@ -964,6 +974,17 @@ def search(
     """
     reader = get_reader(spark, index_dir)
     info = reader.info
+    plan_key = (
+        reader.fingerprint(),
+        tuple(
+            (qid, text if isinstance(text, str) else tuple(text), k)
+            for qid, text, k in queries
+        ),
+        conjunctive, hydrate, doc_filter, postings_per_task,
+    )
+    cached = _PLAN_CACHE.get(plan_key)
+    if cached is not None:
+        return cached
     # a query's text may be pre-tokenized (list of index terms) — used by
     # search-as-you-type, whose subfield terms ("pf:ha") must not re-tokenize.
     # Pre-tokenized lists are deduped order-preserving (ADVICE r2: duplicate
@@ -1349,6 +1370,9 @@ def search(
             .filter(F.col("_rn") == 1)
             .select("query_id", "rank", "doc_id", "score", "url")
         )
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[plan_key] = out
     return out
 
 

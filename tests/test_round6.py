@@ -326,3 +326,33 @@ class TestSearchPlanReuse:
         df_b = get_reader(spark, d).blocks_union(spark)
         assert df_a is df_b  # plan object reused, no re-listing
         assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    def test_plan_cache_reuses_identical_queries_and_invalidates_on_rebuild(
+        self, spark, tiny_index
+    ):
+        """Identical repeated searches must reuse the compiled plan (same
+        DataFrame object); any index MANIFEST change must invalidate it.
+        Different queries/flags must never share a plan."""
+        import os
+        import time
+
+        from opensearch_loader_spark.query_engine import search
+
+        d, _ = tiny_index
+        a = search(spark, d, [("q", "the data", 5)])
+        b = search(spark, d, [("q", "the data", 5)])
+        assert a is b
+        c = search(spark, d, [("q", "the data", 7)])
+        assert c is not a
+        e = search(spark, d, [("q", "the data", 5)], conjunctive=True)
+        assert e is not a
+        # touch the MANIFEST (what every build/delta/compaction rewrite
+        # does) → fingerprint changes → fresh plan, same results
+        top = os.path.join(d, "MANIFEST.json")
+        now = time.time() + 2
+        os.utime(top, (now, now))
+        f = search(spark, d, [("q", "the data", 5)])
+        assert f is not a
+        assert sorted(map(tuple, f.collect())) == sorted(
+            map(tuple, a.collect())
+        )
